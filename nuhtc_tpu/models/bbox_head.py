@@ -1,0 +1,68 @@
+"""Cascade bbox head: Shared2FC + NormedLinear classifier + Seesaw activation.
+
+Re-implements the reference's Shared2FCBBoxHeadWithProb
+(nuhtc/models/bbox_head.py:213-292) and the SeesawLoss custom activation
+(thirdparty/mmdetection/mmdet/models/losses/seesaw_loss.py:157-175):
+cls_score has C+2 channels — softmax over the C class logits times the
+positive-objectness softmax, background = negative-objectness.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nuhtc_tpu.registry import HEADS
+from nuhtc_tpu.models.layers import NormedLinear
+
+Dtype = Any
+
+
+@HEADS.register()
+class Shared2FCBBoxHeadWithProb(nn.Module):
+    num_classes: int = 5
+    in_channels: int = 64
+    fc_out_channels: int = 256
+    roi_feat_size: int = 7
+    reg_class_agnostic: bool = True
+    cls_temperature: float = 20.0
+    dtype: Dtype = jnp.float32
+    # reference config keys accepted for parity
+    bbox_coder: Any = None
+    cls_predictor_cfg: Any = None
+    loss_cls: Any = None
+    loss_bbox: Any = None
+
+    @property
+    def cls_channels(self) -> int:
+        return self.num_classes + 2  # Seesaw: classes + (pos, neg) objectness
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        """roi_feats: (R, S, S, C) → (cls_score (R, C+2), bbox_pred (R, 4))."""
+        r = roi_feats.shape[0]
+        # match torch flatten order (C, H, W) so checkpoint fc weights convert
+        x = roi_feats.transpose(0, 3, 1, 2).reshape(r, -1)
+        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc1")(x))
+        cls_score = NormedLinear(
+            features=self.cls_channels,
+            temperature=self.cls_temperature,
+            dtype=self.dtype,
+            name="fc_cls",
+        )(x)
+        reg_out = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        bbox_pred = nn.Dense(reg_out, dtype=self.dtype, name="fc_reg")(x)
+        return cls_score.astype(jnp.float32), bbox_pred.astype(jnp.float32)
+
+
+def seesaw_activation(cls_score: jnp.ndarray) -> jnp.ndarray:
+    """(..., C+2) raw logits → (..., C+1) scores (last = background)."""
+    c = cls_score.shape[-1] - 2
+    score_classes = jax.nn.softmax(cls_score[..., :c], axis=-1)
+    score_obj = jax.nn.softmax(cls_score[..., c:], axis=-1)
+    pos, neg = score_obj[..., :1], score_obj[..., 1:2]
+    return jnp.concatenate([score_classes * pos, neg], axis=-1)

@@ -1,0 +1,105 @@
+"""Shared flax building blocks (NHWC, TPU-native layouts)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvModule(nn.Module):
+    """Conv + (optional norm) + (optional act) — the mmcv ConvModule analog.
+
+    The reference uses mmcv ConvModule with conv_cfg=None, norm_cfg=None
+    everywhere in the active configs, i.e. plain conv + ReLU.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    act: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ks = (self.kernel_size, self.kernel_size)
+        pad = self.padding
+        x = nn.Conv(
+            self.features,
+            ks,
+            strides=(self.strides, self.strides),
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class NormedLinear(nn.Module):
+    """L2-normalized linear classifier with temperature (Seesaw predictor).
+
+    Matches mmdet NormedLinear (thirdparty/mmdetection/mmdet/models/utils/
+    normed_predictor.py:11-39): both weight rows and inputs are divided by
+    (norm^power + eps), inputs scaled by temperature, bias added raw.
+    """
+
+    features: int
+    temperature: float = 20.0
+    power: float = 1.0
+    eps: float = 1e-6
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.01), (in_f, self.features), jnp.float32
+        )
+        kernel = kernel / (
+            jnp.linalg.norm(kernel, axis=0, keepdims=True) ** self.power + self.eps
+        )
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) ** self.power + self.eps)
+        x = x * self.temperature
+        y = jnp.einsum(
+            "...i,io->...o", x, kernel, precision=jax.lax.Precision.HIGHEST
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias
+        return y
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Stochastic depth on the batch axis."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    drop_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x

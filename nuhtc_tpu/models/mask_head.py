@@ -1,0 +1,110 @@
+"""Mask + semantic heads (NHWC flax).
+
+- ``HTCMaskHead``: FCN mask head with HTC info-flow residual conv
+  (thirdparty/mmdetection/mmdet/models/roi_heads/mask_heads/htc_mask_head.py:
+  1-39 + fcn_mask_head.py): 4× 3×3 conv + ReLU, optional 1×1 res conv on the
+  incoming info-flow feature, 2× deconv + ReLU, 1×1 logits (class-agnostic →
+  1 channel, 28×28 from 14×14 RoI features).
+- ``FusedSemanticHead``: multi-level fusion at level 0
+  (fused_semantic_head.py:13-117): 1×1 laterals, bilinear(align_corners=True)
+  upsample-sum, 4× 3×3 convs, 1×1 logits (1 class) + 1×1 embedding feature.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nuhtc_tpu.registry import HEADS
+from nuhtc_tpu.ops.components import resize_align_corners
+
+Dtype = Any
+
+
+@HEADS.register()
+class HTCMaskHead(nn.Module):
+    num_convs: int = 4
+    in_channels: int = 64
+    conv_out_channels: int = 64
+    num_classes: int = 5
+    class_agnostic: bool = True
+    with_conv_res: bool = True
+    dtype: Dtype = jnp.float32
+    loss_mask: Any = None  # config key
+
+    @nn.compact
+    def __call__(self, x, res_feat=None, return_logits=True, return_feat=True):
+        """x: (R, S, S, C). Returns logits (R, 2S, 2S, out) and/or feat."""
+        if res_feat is not None:
+            res_feat = nn.relu(
+                nn.Conv(self.conv_out_channels, (1, 1), dtype=self.dtype, name="conv_res")(res_feat)
+            )
+            x = x + res_feat
+        for i in range(self.num_convs):
+            x = nn.relu(
+                nn.Conv(
+                    self.conv_out_channels, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{i}"
+                )(x)
+            )
+        feat = x
+        outs = []
+        if return_logits:
+            y = nn.ConvTranspose(
+                self.conv_out_channels,
+                (2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                dtype=self.dtype,
+                name="upsample",
+            )(x)
+            y = nn.relu(y)
+            out_ch = 1 if self.class_agnostic else self.num_classes
+            logits = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="conv_logits")(y)
+            outs.append(logits.astype(jnp.float32))
+        if return_feat:
+            outs.append(feat)
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+@HEADS.register()
+class FusedSemanticHead(nn.Module):
+    num_ins: int = 4
+    fusion_level: int = 0
+    num_convs: int = 4
+    in_channels: int = 64
+    conv_out_channels: int = 64
+    num_classes: int = 1
+    dtype: Dtype = jnp.float32
+    loss_seg: Any = None  # config key
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        """feats: per-level (B, H, W, C) → (logits (B, H0, W0, num_classes),
+        embedding (B, H0, W0, C))."""
+        fl = self.fusion_level
+        x = nn.relu(
+            nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name=f"lateral{fl}")(feats[fl])
+        )
+        th, tw = x.shape[1:3]
+        for i, f in enumerate(feats[: self.num_ins]):
+            if i == fl:
+                continue
+            lat = nn.relu(
+                nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name=f"lateral{i}")(f)
+            )
+            # bilinear align_corners=True upsample to fusion level size
+            lat = resize_align_corners(lat.transpose(0, 3, 1, 2), (th, tw)).transpose(0, 2, 3, 1)
+            x = x + lat
+        for i in range(self.num_convs):
+            x = nn.relu(
+                nn.Conv(
+                    self.conv_out_channels, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{i}"
+                )(x)
+            )
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="conv_logits")(x)
+        embedding = nn.relu(
+            nn.Conv(self.conv_out_channels, (1, 1), dtype=self.dtype, name="conv_embedding")(x)
+        )
+        return logits.astype(jnp.float32), embedding

@@ -1,0 +1,273 @@
+"""Swin Transformer backbone (NHWC, flax) — Swin-T config for NuHTC.
+
+Re-implements the behavior of the mmdet SwinTransformer consumed by the
+reference (thirdparty/mmdetection/mmdet/models/backbones/swin.py:465; config
+configs/nuhtc/htc_lite_swin_pytorch_fpn_PanNuke_seasaw_CAS.py:31-48):
+embed 96, depths [2,2,6,2], heads [3,6,12,24], window 7, 4-level outputs with
+per-level LayerNorms, PatchMerging downsampling with mmdet's unfold channel
+ordering (so torch checkpoints convert 1:1).
+
+TPU notes: everything is NHWC; window partition is pure reshape/transpose;
+shifted windows use jnp.roll + a precomputed additive attention mask; all
+shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nuhtc_tpu.registry import BACKBONES
+from nuhtc_tpu.models.layers import MLP, drop_path
+
+Dtype = Any
+
+
+def _rel_position_index(ws: int) -> np.ndarray:
+    """(ws*ws, ws*ws) index into the (2ws-1)^2 relative bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))  # 2, ws, ws
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # 2, n, n
+    rel = rel.transpose(1, 2, 0)  # n, n, 2
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        """x: (num_windows*B, N, C); mask: (nW, N, N) additive or None."""
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (b, nh, n, hd)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        index = _rel_position_index(self.window_size)
+        bias = table[index.reshape(-1)].reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)  # (nh, n, n)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(b, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B*nH*nW, ws*ws, C). H, W must be multiples of ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(wins: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    b = wins.shape[0] // (h // ws * (w // ws))
+    x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Additive attention mask (nW, ws², ws²) for shifted windows."""
+    img_mask = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wss in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[hs, wss] = cnt
+            cnt += 1
+    m = img_mask.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = m[:, :, None] != m[:, None, :]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: bool
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, H, W, C)."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+
+        pad_b = (-h) % ws
+        pad_r = (-w) % ws
+        xp = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        shift = ws // 2 if self.shift else 0
+        if shift:
+            xp = jnp.roll(xp, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+        else:
+            mask = None
+
+        wins = window_partition(xp, ws)
+        wins = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=ws,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop_rate,
+            proj_drop=self.drop_rate,
+            dtype=self.dtype,
+            name="attn",
+        )(wins, mask=mask, deterministic=deterministic)
+        xp = window_reverse(wins, ws, hp, wp)
+
+        if shift:
+            xp = jnp.roll(xp, (shift, shift), axis=(1, 2))
+        x = xp[:, :h, :w, :]
+
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = MLP(
+            hidden=int(self.dim * self.mlp_ratio),
+            out=self.dim,
+            drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            name="ffn",
+        )(y, deterministic=deterministic)
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+
+
+class PatchMergingMM(nn.Module):
+    """2× downsample matching mmdet's Unfold-based PatchMerging."""
+
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        pad_b, pad_r = h % 2, w % 2
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            h, w = h + pad_b, w + pad_r
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)  # (B, h2, kh, w2, kw, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, h2, w2, C, kh, kw)
+        x = x.reshape(b, h // 2, w // 2, 4 * c)  # channel = c*4 + kh*2 + kw
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+@BACKBONES.register()
+class SwinTransformer(nn.Module):
+    """Swin backbone; returns per-level NHWC features (indices in out_indices)."""
+
+    embed_dims: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    patch_norm: bool = True
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = 1  # honored by the optimizer mask, not here
+    patch_size: int = 4
+    dtype: Dtype = jnp.float32
+    # accepted-but-unused reference config keys
+    with_cp: bool = False
+    convert_weights: bool = True
+    pretrained: str | None = None
+    init_cfg: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, H, W, 3) normalized image → tuple of NHWC feature maps."""
+        ps = self.patch_size
+        x = nn.Conv(
+            self.embed_dims,
+            (ps, ps),
+            strides=(ps, ps),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        total_depth = sum(self.depths)
+        dprs = np.linspace(0, self.drop_path_rate, total_depth)
+
+        outs = []
+        block_idx = 0
+        dim = self.embed_dims
+        for stage_i, depth in enumerate(self.depths):
+            for blk_i in range(depth):
+                x = SwinBlock(
+                    dim=dim,
+                    num_heads=self.num_heads[stage_i],
+                    window_size=self.window_size,
+                    shift=(blk_i % 2 == 1),
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop_rate=self.drop_rate,
+                    attn_drop_rate=self.attn_drop_rate,
+                    drop_path_rate=float(dprs[block_idx]),
+                    dtype=self.dtype,
+                    name=f"stage{stage_i}_block{blk_i}",
+                )(x, deterministic=deterministic)
+                block_idx += 1
+            if stage_i in self.out_indices:
+                out = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage_i}")(x)
+                outs.append(out)
+            if stage_i < len(self.depths) - 1:
+                x = PatchMergingMM(out_dim=dim * 2, dtype=self.dtype, name=f"downsample{stage_i}")(x)
+                dim *= 2
+        return tuple(outs)

@@ -1,0 +1,74 @@
+"""Paste fixed-size mask logits into the image frame (static shapes).
+
+Replaces mmdet's chunked ``_do_paste_mask`` (reference
+thirdparty/mmdetection/mmdet/models/roi_heads/mask_heads/fcn_mask_head.py:
+179-344, with its GPU_MEM_LIMIT chunking): with static shapes on TPU the
+paste is two dense interpolation matmuls per detection. Semantics match
+``F.grid_sample(align_corners=False, padding_mode='zeros')`` on the box grid:
+image pixel center (p + 0.5) maps to mask coordinate
+``(p + 0.5 - b0) / (b1 - b0) * M - 0.5`` with bilinear weights and zero
+contribution outside the mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _paste_matrix(b0: jnp.ndarray, b1: jnp.ndarray, out_size: int, mask_size: int) -> jnp.ndarray:
+    """(N,) box starts/ends → (N, out_size, mask_size) interpolation matrices."""
+    p = jnp.arange(out_size, dtype=jnp.float32) + 0.5  # pixel centers
+    extent = jnp.maximum(b1 - b0, 1e-6)
+    m = (p[None, :] - b0[:, None]) / extent[:, None] * mask_size - 0.5  # (N, out)
+    low = jnp.floor(m)
+    frac = m - low
+    low_i = low.astype(jnp.int32)
+    high_i = low_i + 1
+
+    def onehot_inrange(ix):
+        inr = (ix >= 0) & (ix < mask_size)
+        oh = jax.nn.one_hot(jnp.clip(ix, 0, mask_size - 1), mask_size, dtype=jnp.float32)
+        return oh * inr[..., None]
+
+    return onehot_inrange(low_i) * (1.0 - frac)[..., None] + onehot_inrange(high_i) * frac[..., None]
+
+
+@partial(jax.jit, static_argnames=("out_shape", "chunk"))
+def paste_masks(
+    masks: jnp.ndarray,  # (N, M, M) mask probabilities (post-sigmoid)
+    boxes: jnp.ndarray,  # (N, 4) in output-frame coords
+    out_shape: tuple[int, int],
+    threshold: float = 0.5,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Returns (N, H, W) uint8 binary masks (threshold > thr; thr<0 → float)."""
+    n, msize, _ = masks.shape
+    h, w = out_shape
+
+    def paste_chunk(args):
+        m_c, b_c = args
+        py = _paste_matrix(b_c[:, 1], b_c[:, 3], h, msize)  # (c, H, M)
+        px = _paste_matrix(b_c[:, 0], b_c[:, 2], w, msize)  # (c, W, M)
+        t = jnp.einsum("nhk,nkl->nhl", py, m_c.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)  # (c, H, M)
+        full = jnp.einsum("nhl,nwl->nhw", t, px, precision=jax.lax.Precision.HIGHEST)  # (c, H, W)
+        if threshold >= 0:
+            return (full > threshold).astype(jnp.uint8)
+        return full
+
+    if n <= chunk:
+        return paste_chunk((masks, boxes))
+    pad = (-n) % chunk
+    masks_p = jnp.pad(masks, ((0, pad), (0, 0), (0, 0)))
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+    nc = masks_p.shape[0] // chunk
+    out = jax.lax.map(
+        paste_chunk,
+        (
+            masks_p.reshape(nc, chunk, msize, msize),
+            boxes_p.reshape(nc, chunk, 4),
+        ),
+    )
+    return out.reshape((-1, h, w))[:n]

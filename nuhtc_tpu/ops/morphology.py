@@ -1,0 +1,126 @@
+"""Binary morphology + blur primitives on device, static-shape.
+
+These re-express the host-side scipy/torchvision calls inside the reference's
+watershed-proposal branch (reference nuhtc/models/htc_roi_head_cus.py:239-320)
+as pure XLA ops:
+
+- ``gaussian_blur5``: torchvision ``TF.gaussian_blur(kernel_size=5)`` —
+  sigma = 0.3*((k-1)*0.5 - 1) + 0.8 = 1.1, reflect padding;
+- ``binary_erosion/dilation/open``: the reference's conv-based formulation
+  (5×5 ones kernel, zero padding);
+- ``fill_holes``: scipy ``ndi.binary_fill_holes`` (4-connectivity flood fill
+  of the complement from the border, to fixpoint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_kernel1d(kernel_size: int = 5, sigma: float | None = None) -> np.ndarray:
+    if sigma is None:
+        sigma = 0.3 * ((kernel_size - 1) * 0.5 - 1) + 0.8
+    half = (kernel_size - 1) * 0.5
+    x = np.linspace(-half, half, kernel_size)
+    pdf = np.exp(-0.5 * (x / sigma) ** 2)
+    return (pdf / pdf.sum()).astype(np.float32)
+
+
+def gaussian_blur5(img: jnp.ndarray, kernel_size: int = 5, sigma: float | None = None) -> jnp.ndarray:
+    """Separable gaussian blur with reflect padding. img: (..., H, W)."""
+    k = jnp.asarray(gaussian_kernel1d(kernel_size, sigma), dtype=img.dtype)
+    pad = kernel_size // 2
+    orig_shape = img.shape
+    h, w = orig_shape[-2:]
+    x = img.reshape((-1, h, w))
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    # rows
+    x = jax.vmap(
+        lambda im: jax.lax.conv_general_dilated(
+            im[None, None, :, :],
+            k[None, None, :, None],
+            (1, 1),
+            "VALID",
+            precision=jax.lax.Precision.HIGHEST,
+        )[0, 0]
+    )(x)
+    # cols
+    x = jax.vmap(
+        lambda im: jax.lax.conv_general_dilated(
+            im[None, None, :, :],
+            k[None, None, None, :],
+            (1, 1),
+            "VALID",
+            precision=jax.lax.Precision.HIGHEST,
+        )[0, 0]
+    )(x)
+    return x.reshape(orig_shape)
+
+
+def _conv_ones(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Sum over a ksize×ksize window with zero padding. x: (..., H, W)."""
+    shape = x.shape
+    h, w = shape[-2:]
+    xf = x.reshape((-1, 1, h, w)).astype(jnp.float32)
+    kernel = jnp.ones((1, 1, ksize, ksize), dtype=jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        xf, kernel, (1, 1), "SAME", precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(shape)
+
+
+def binary_erosion(mask: jnp.ndarray, ksize: int = 5, iterations: int = 1) -> jnp.ndarray:
+    """Reference formulation: conv with ones, clamp(x - k² + 1, 0, 1)."""
+    m = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        m = jnp.clip(_conv_ones(m, ksize) - ksize * ksize + 1.0, 0.0, 1.0)
+    return m
+
+
+def binary_dilation(mask: jnp.ndarray, ksize: int = 5, iterations: int = 1) -> jnp.ndarray:
+    m = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        m = jnp.clip(_conv_ones(m, ksize), 0.0, 1.0)
+    return m
+
+
+def binary_open(mask: jnp.ndarray, ksize: int = 5, iterations: int = 1) -> jnp.ndarray:
+    return binary_dilation(binary_erosion(mask, ksize, iterations), ksize, iterations)
+
+
+def binary_close(mask: jnp.ndarray, ksize: int = 5, iterations: int = 1) -> jnp.ndarray:
+    return binary_erosion(binary_dilation(mask, ksize, iterations), ksize, iterations)
+
+
+def _dilate4(x: jnp.ndarray) -> jnp.ndarray:
+    """One step of 4-connected binary dilation. x: (H, W) bool."""
+    up = jnp.pad(x[1:, :], ((0, 1), (0, 0)))
+    down = jnp.pad(x[:-1, :], ((1, 0), (0, 0)))
+    left = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    right = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    return x | up | down | left | right
+
+
+def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
+    """scipy ``binary_fill_holes`` semantics (4-connectivity). mask: (H, W) bool."""
+    mask = mask.astype(bool)
+    h, w = mask.shape
+    border = jnp.zeros((h, w), dtype=bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    bg = ~mask
+    outside0 = bg & border
+
+    def cond(state):
+        outside, changed = state
+        return changed
+
+    def body(state):
+        outside, _ = state
+        new = bg & _dilate4(outside)
+        return new, jnp.any(new != outside)
+
+    outside, _ = jax.lax.while_loop(cond, body, (outside0, jnp.array(True)))
+    return mask | (bg & ~outside)

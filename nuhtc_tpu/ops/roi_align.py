@@ -1,0 +1,184 @@
+"""RoIAlign as separable interpolation matmuls (MXU-friendly, exact).
+
+The reference uses mmcv-full's CUDA RoIAlign (`mmcv.ops.roi_align`, consumed
+at reference nuhtc/models/roi_extractors_cus.py:51,218). Instead of a
+gather-style kernel, we exploit the separability of bilinear sampling: for a
+RoI, every pooled bin value is
+
+    out[i, j] = (1 / (gh * gw)) * sum_{iy, ix} F(y(i, iy), x(j, ix))
+
+with bilinear interpolation at each sample point. Folding the sample/bin
+structure into per-RoI 1D interpolation matrices ``Sy (out_h, H)`` and
+``Sx (out_w, W)`` gives ``out = Sy @ F @ Sx^T`` — two dense matmuls that map
+straight onto the TPU MXU instead of scalar gathers.
+
+Semantics match mmcv ``RoIAlign(aligned=True, pool_mode='avg')``:
+- coordinates are scaled by ``spatial_scale`` then offset by -0.5;
+- ``sampling_ratio > 0`` uses a fixed gh=gw=ratio grid; ``0`` means the
+  adaptive ``ceil(roi_extent / out)`` grid (we cap it at ``max_grid``);
+- out-of-range samples (y < -1 or y > H) contribute zero; borders clamp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_matrix(
+    start: jnp.ndarray,  # (R,) roi start (feature coords, already offset)
+    bin_size: jnp.ndarray,  # (R,)
+    grid: jnp.ndarray,  # (R,) int samples per bin (≥1)
+    out_size: int,
+    size: int,  # feature extent (H or W)
+    max_grid: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Build (R, out_size, size) interpolation matrices for one axis."""
+    r = start.shape[0]
+    i = jnp.arange(out_size, dtype=start.dtype)  # (out,)
+    s = jnp.arange(max_grid, dtype=start.dtype)  # (max_grid,)
+
+    gridf = grid.astype(start.dtype)[:, None, None]  # (R,1,1)
+    # sample coordinate: start + i*bin + (s+0.5)*bin/grid
+    y = (
+        start[:, None, None]
+        + i[None, :, None] * bin_size[:, None, None]
+        + (s[None, None, :] + 0.5) * bin_size[:, None, None] / gridf
+    )  # (R, out, max_grid)
+
+    sample_w = (s[None, None, :] < gridf) / gridf  # (R, out, max_grid)
+
+    out_of_range = (y < -1.0) | (y > size)
+    yc = jnp.clip(y, 0.0, size - 1)
+    y_low = jnp.floor(yc)
+    at_border = y_low >= size - 1
+    y_low = jnp.minimum(y_low, size - 1).astype(jnp.int32)
+    ly = jnp.where(at_border, 0.0, yc - y_low)
+    y_high = jnp.minimum(y_low + 1, size - 1)
+
+    w = jnp.where(out_of_range, 0.0, sample_w)
+    onehot_low = jax.nn.one_hot(y_low, size, dtype=dtype)  # (R, out, max_grid, size)
+    onehot_high = jax.nn.one_hot(y_high, size, dtype=dtype)
+    mat = jnp.einsum(
+        "rosk,ros->rok",
+        onehot_low * (1.0 - ly)[..., None] + onehot_high * ly[..., None],
+        w.astype(dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return mat  # (R, out, size)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("output_size", "sampling_ratio", "max_grid", "chunk"),
+)
+def roi_align(
+    feat: jnp.ndarray,  # (H, W, C) single image, NHWC layout sans batch
+    rois: jnp.ndarray,  # (R, 4) [x1, y1, x2, y2] in image coords
+    spatial_scale: float,
+    output_size: int,
+    sampling_ratio: int = 0,
+    max_grid: int = 8,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """RoIAlign for one image. Returns (R, out, out, C).
+
+    Invalid/padding rois are harmless (produce garbage rows the caller masks).
+    vmap over the leading batch axis for batched use.
+    """
+    h, w, c = feat.shape
+    r = rois.shape[0]
+    dtype = feat.dtype
+
+    rois = rois.astype(jnp.float32)
+    start_w = rois[:, 0] * spatial_scale - 0.5
+    start_h = rois[:, 1] * spatial_scale - 0.5
+    end_w = rois[:, 2] * spatial_scale - 0.5
+    end_h = rois[:, 3] * spatial_scale - 0.5
+    roi_w = end_w - start_w
+    roi_h = end_h - start_h
+    bin_w = roi_w / output_size
+    bin_h = roi_h / output_size
+
+    if sampling_ratio > 0:
+        grid_h = jnp.full((r,), sampling_ratio, dtype=jnp.int32)
+        grid_w = grid_h
+        mg = sampling_ratio
+    else:
+        grid_h = jnp.clip(jnp.ceil(roi_h / output_size), 1, max_grid).astype(jnp.int32)
+        grid_w = jnp.clip(jnp.ceil(roi_w / output_size), 1, max_grid).astype(jnp.int32)
+        mg = max_grid
+
+    sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
+    sx = _interp_matrix(start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32)
+
+    featf = feat.astype(jnp.float32)
+
+    def one_chunk(args):
+        sy_c, sx_c = args  # (chunk, out, H), (chunk, out, W)
+        t1 = jnp.einsum("rih,hwc->riwc", sy_c, featf, precision=jax.lax.Precision.HIGHEST)  # (chunk, out, W, C)
+        t2 = jnp.einsum("rjw,riwc->rijc", sx_c, t1, precision=jax.lax.Precision.HIGHEST)  # (chunk, out, out, C)
+        return t2
+
+    if r <= chunk:
+        out = one_chunk((sy, sx))
+    else:
+        pad = (-r) % chunk
+        sy_p = jnp.pad(sy, ((0, pad), (0, 0), (0, 0)))
+        sx_p = jnp.pad(sx, ((0, pad), (0, 0), (0, 0)))
+        n_chunks = sy_p.shape[0] // chunk
+        sy_p = sy_p.reshape(n_chunks, chunk, output_size, h)
+        sx_p = sx_p.reshape(n_chunks, chunk, output_size, w)
+        out = jax.lax.map(one_chunk, (sy_p, sx_p))
+        out = out.reshape(-1, output_size, output_size, c)[:r]
+    return out.astype(dtype)
+
+
+def attention_pool(
+    feat: jnp.ndarray,  # (H, W, C) single image
+    rois: jnp.ndarray,  # (R, 4)
+    stride: int,
+    thres: float,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Cosine-similarity attention pooling used by AttentionRoIExtractor for
+    coarse levels (reference nuhtc/models/roi_extractors_cus.py:216-245).
+
+    Takes the feature vector at each RoI's center cell, computes a ReLU-
+    thresholded cosine-similarity map against the whole level, and returns
+    the similarity-weighted spatial mean ``mean_hw(feat * sim)`` per RoI:
+    (R, C). The caller broadcasts to (R, out, out, C).
+
+    Gradients do not flow through the similarity weights (the reference
+    detaches both the center vector and the level map before the similarity).
+    """
+    h, w, c = feat.shape
+    # center cell: floor((x1+x2) / (2*stride)), clamped
+    cx = jnp.clip(
+        jnp.floor((rois[:, 0] + rois[:, 2]) / (2.0 * stride)), 0, w - 1
+    ).astype(jnp.int32)
+    cy = jnp.clip(
+        jnp.floor((rois[:, 1] + rois[:, 3]) / (2.0 * stride)), 0, h - 1
+    ).astype(jnp.int32)
+
+    featf = feat.astype(jnp.float32)
+    flat = featf.reshape(h * w, c)
+    center = flat[cy * w + cx]  # (R, C)
+    center = jax.lax.stop_gradient(center)
+    flat_sg = jax.lax.stop_gradient(flat)
+
+    # cosine similarity, torch eps semantics: dot / max(|a|*|b|, eps)
+    dots = jnp.einsum("nc,rc->nr", flat_sg, center, precision=jax.lax.Precision.HIGHEST)
+    norms = jnp.linalg.norm(flat_sg, axis=1)  # (HW,)
+    cnorm = jnp.linalg.norm(center, axis=1)  # (R,)
+    denom = jnp.maximum(norms[:, None] * cnorm[None, :], eps)
+    sim = dots / denom
+    sim = jax.nn.relu(sim - thres) + thres  # (HW, R)
+
+    pooled = (
+        jnp.einsum("nc,nr->cr", flat, sim, precision=jax.lax.Precision.HIGHEST) / (h * w)
+    )
+    return pooled.T.astype(feat.dtype)  # (R, C)

@@ -1,0 +1,16 @@
+import os
+
+# Force CPU with 8 virtual devices BEFORE jax import: tests exercise the
+# multi-chip sharding paths the same way the driver's dryrun does.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
