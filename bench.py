@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: PanNuke patch-inference throughput (256px tiles/sec/chip).
+
+Runs the flagship full-size NuHTC (Swin-T, bf16) on batches of 256px tiles
+(rescaled ×2 to 512² as in the reference test pipeline, config :325-339),
+including device-side mask pasting — the same work the reference measures in
+tools/analysis_tools/benchmark.py:101-132 (2000-iter loop on CUDA).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 35.0 — our estimate of the reference's A100
+tiles/sec for this model (the repo publishes no number; BASELINE.md).
+The round target is vs_baseline ≥ 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_TILES_PER_SEC_EST = 35.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nuhtc_tpu.models.detector import NuHTC
+    from nuhtc_tpu.ops.mask_paste import paste_masks
+
+    batch = 16
+    tile = 256
+    scale = 2.0
+    size = int(tile * scale)
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
+    model = NuHTC(num_classes=5, dtype=dtype, scale_factor=scale)
+
+    img0 = jnp.zeros((batch, size, size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img0, method="init_forward")
+
+    thr = model.mask_thr_binary
+
+    @jax.jit
+    def step(params, img):
+        det = model.apply(params, img)
+        masks = jax.vmap(lambda m, b: paste_masks(m, b, (tile, tile), threshold=thr))(
+            det["mask_probs"], det["boxes"]
+        )
+        return det["boxes"], det["scores"], det["labels"], det["valid"], masks
+
+    rng = np.random.RandomState(0)
+    imgs = [
+        jnp.asarray(rng.randn(batch, size, size, 3).astype(np.float32)) for _ in range(4)
+    ]
+
+    # warmup / compile
+    jax.block_until_ready(step(params, imgs[0]))
+
+    n_iters = 20 if backend != "cpu" else 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = step(params, imgs[i % len(imgs)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    tiles_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pannuke_patch_inference_256px_tiles_per_sec_per_chip",
+                "value": round(tiles_per_sec, 2),
+                "unit": "tiles/sec/chip",
+                "vs_baseline": round(tiles_per_sec / A100_TILES_PER_SEC_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

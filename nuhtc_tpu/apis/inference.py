@@ -1,0 +1,148 @@
+"""Inference engine: build model + params, jit once, stream padded batches.
+
+The API mirror of the reference's init_detector / inference_detector
+(reference nuhtc/apis/inference.py:11-58 + mmdet inference pipeline): images
+are preprocessed on host (resize ×scale_factor, normalize, pad/32 —
+config :325-339), batched to a fixed shape, and run through the single
+jit-compiled detector; mask pasting runs on device and per-image results are
+unpadded on host into the reference's result contract
+(per-class box arrays + per-instance binary masks).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nuhtc_tpu.config import Config
+from nuhtc_tpu.data.pipelines import preprocess_test_image
+from nuhtc_tpu.models.build import build_detector
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model,
+        params,
+        batch_size: int = 8,
+        tile_size: int = 256,
+        scale_factor: float = 2.0,
+        paste_masks: bool = True,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from nuhtc_tpu.ops.mask_paste import paste_masks as paste_fn
+
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.tile_size = tile_size
+        self.scale_factor = scale_factor
+        self.num_classes = model.num_classes
+        self._forward = jax.jit(lambda p, x: model.apply(p, x))
+
+        thr = model.mask_thr_binary
+
+        if paste_masks:
+
+            def _paste(det):
+                # per image: (D, 28, 28) probs + boxes in ori frame → (D, h, w) u8
+                return jax.vmap(
+                    lambda m, b: paste_fn(m, b, (tile_size, tile_size), threshold=thr)
+                )(det["mask_probs"], det["boxes"])
+
+            self._paste = jax.jit(_paste)
+        else:
+            self._paste = None
+
+    # ------------------------------------------------------------------ #
+    @property
+    def input_size(self) -> int:
+        return int(self.tile_size * self.scale_factor)
+
+    def preprocess(self, imgs: Sequence[np.ndarray]) -> np.ndarray:
+        """RGB uint8 images (tile_size²) → padded normalized batch."""
+        assert len(imgs) <= self.batch_size
+        out = np.zeros((self.batch_size, self.input_size, self.input_size, 3), np.float32)
+        for i, im in enumerate(imgs):
+            t = preprocess_test_image(im, self.scale_factor)
+            out[i, : t.shape[0], : t.shape[1]] = t
+        return out
+
+    def run_batch(self, imgs: Sequence[np.ndarray]) -> List[Dict[str, np.ndarray]]:
+        """Returns per-image dicts: boxes (n,4) ori-frame, scores, labels,
+        probs, masks (n, tile, tile) uint8."""
+        n = len(imgs)
+        batch = self.preprocess(imgs)
+        det = self._forward(self.params, batch)
+        if self._paste is not None:
+            pasted = np.asarray(self._paste(det))
+        det = {k: np.asarray(v) for k, v in det.items()}
+        results = []
+        for i in range(n):
+            valid = det["valid"][i]
+            r = dict(
+                boxes=det["boxes"][i][valid],
+                scores=det["scores"][i][valid],
+                labels=det["labels"][i][valid],
+                probs=det["probs"][i][valid],
+                mask_probs=det["mask_probs"][i][valid],
+            )
+            if self._paste is not None:
+                r["masks"] = pasted[i][valid]
+            results.append(r)
+        return results
+
+    def to_reference_format(self, result: Dict[str, np.ndarray]) -> Tuple[List, List]:
+        """→ (bbox_results [C×(n,5)], segm_results [C×[mask…]]) — the result
+        contract every reference tool parses (SURVEY.md §3.2)."""
+        bboxes, segms = [], []
+        for c in range(self.num_classes):
+            sel = result["labels"] == c
+            arr = np.concatenate(
+                [result["boxes"][sel], result["scores"][sel][:, None]], axis=1
+            ).astype(np.float32)
+            bboxes.append(arr)
+            segms.append([m for m in result["masks"][sel]] if "masks" in result else [])
+        return bboxes, segms
+
+
+def init_detector(
+    config: str | Config,
+    checkpoint: Optional[str] = None,
+    batch_size: int = 8,
+    dtype=None,
+    use_ema: bool = True,
+) -> InferenceEngine:
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Config.fromfile(config) if isinstance(config, str) else config
+    dtype = dtype or (jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32)
+    scale_factor = float(cfg.get("scale_factor", 2.0))
+    model = build_detector(cfg.model, cfg.model.get("test_cfg"), scale_factor, dtype=dtype)
+
+    img_size = int(256 * scale_factor)
+    img = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, method="init_forward")
+
+    if checkpoint:
+        if checkpoint.endswith(".pth"):
+            from nuhtc_tpu.utils.checkpoint import load_torch_checkpoint
+
+            params, info = load_torch_checkpoint(checkpoint, params)
+            if info["unmatched_torch"]:
+                print(f"[init_detector] {len(info['unmatched_torch'])} torch keys unmatched")
+        else:
+            from nuhtc_tpu.utils.checkpoint import load_checkpoint
+
+            state = load_checkpoint(checkpoint, None)
+            if isinstance(state, dict) and "ema_params" in state and use_ema:
+                params = state["ema_params"]
+            elif isinstance(state, dict) and "params" in state:
+                params = state["params"]
+            else:
+                params = state
+    return InferenceEngine(model, params, batch_size=batch_size, scale_factor=scale_factor)

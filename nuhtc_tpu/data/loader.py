@@ -1,0 +1,203 @@
+"""Dataset wrappers, padded-batch collation, and a threaded prefetch loader.
+
+- ``CASDataset``: class-aware sampling — ``__getitem__`` ignores the index,
+  samples a uniform class then a uniform image containing it (reference
+  nuhtc/datasets/dataset_wrappers.py:36-43).
+- ``SemiDataset``: sup/unsup concat (reference dataset_wrappers.py:7).
+- ``collate_train``: converts pipeline outputs into the padded tensor batch
+  the jit train step consumes (gt boxes/labels/valid, 64×64 per-instance
+  mask patches, stride-4 semantic target).
+- ``PrefetchLoader``: host threads decode + augment while the device computes
+  (the TPU replacement for torch DataLoader worker processes,
+  reference nuhtc/datasets/builder.py:43-92).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import cv2
+import numpy as np
+
+from nuhtc_tpu.ops import rle as rle_ops
+from nuhtc_tpu.data.pipelines import run_pipeline
+
+PATCH_SIZE = 64  # per-instance GT mask patch resolution
+
+
+class CASDataset:
+    """Class-aware sampling wrapper."""
+
+    def __init__(self, dataset, **kwargs):
+        self.dataset = dataset
+        self.class_index = dataset.build_class_index()
+        self.classes = sorted(self.class_index.keys())
+        self.CLASSES = dataset.CLASSES
+        self.PALETTE = getattr(dataset, "PALETTE", None)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def sample_index(self, rng: np.random.RandomState) -> int:
+        c = self.classes[rng.randint(len(self.classes))]
+        imgs = self.class_index[c]
+        return imgs[rng.randint(len(imgs))]
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+
+class SemiDataset:
+    """Concatenation of a supervised and an unsupervised dataset."""
+
+    def __init__(self, sup, unsup=None, **kwargs):
+        self.sup = sup
+        self.unsup = unsup
+        self.CLASSES = sup.CLASSES
+
+    def __len__(self):
+        return len(self.sup) + (len(self.unsup) if self.unsup else 0)
+
+
+def prepare_train_sample(dataset, idx: int, pipeline, rng: np.random.RandomState) -> dict:
+    """Load + decode + augment one sample → pipeline results dict."""
+    img = dataset.load_image(idx).astype(np.float32)
+    ann = dataset.get_ann_info(idx)
+    masks = (
+        np.stack([rle_ops.decode(m) for m in ann["masks"]])
+        if len(ann["masks"])
+        else np.zeros((0,) + img.shape[:2], np.uint8)
+    )
+    seg = dataset.load_semantic(idx)
+    if seg is None:
+        # derive the binary semantic map from instance masks
+        seg = (masks.sum(0) > 0).astype(np.uint8) if len(masks) else np.zeros(img.shape[:2], np.uint8)
+    results = dict(
+        img=img,
+        gt_bboxes=ann["bboxes"],
+        gt_labels=ann["labels"],
+        gt_masks=masks,
+        gt_semantic_seg=seg,
+    )
+    return run_pipeline(pipeline, results, rng)
+
+
+def instance_patches(masks: np.ndarray, boxes: np.ndarray, size: int = PATCH_SIZE) -> np.ndarray:
+    """Rasterize each instance mask inside its gt box at size×size."""
+    n = len(masks)
+    out = np.zeros((n, size, size), np.float32)
+    h, w = masks.shape[1:] if n else (0, 0)
+    for i in range(n):
+        x1, y1, x2, y2 = boxes[i]
+        xi1, yi1 = int(np.floor(x1)), int(np.floor(y1))
+        xi2, yi2 = int(np.ceil(x2)), int(np.ceil(y2))
+        xi1, yi1 = max(xi1, 0), max(yi1, 0)
+        xi2, yi2 = min(max(xi2, xi1 + 1), w), min(max(yi2, yi1 + 1), h)
+        crop = masks[i, yi1:yi2, xi1:xi2]
+        out[i] = cv2.resize(crop.astype(np.float32), (size, size), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def collate_train(samples: List[dict], max_gt: int = 160, sem_stride: int = 4) -> Dict[str, np.ndarray]:
+    """Pipeline results → padded arrays for the jit train step."""
+    b = len(samples)
+    hs = max(s["img"].shape[0] for s in samples)
+    ws = max(s["img"].shape[1] for s in samples)
+    img = np.zeros((b, hs, ws, 3), np.float32)
+    gt_boxes = np.zeros((b, max_gt, 4), np.float32)
+    gt_labels = np.zeros((b, max_gt), np.int32)
+    gt_valid = np.zeros((b, max_gt), bool)
+    gt_patches = np.zeros((b, max_gt, PATCH_SIZE, PATCH_SIZE), np.float32)
+    gt_sem = np.zeros((b, hs // sem_stride, ws // sem_stride), np.int32)
+
+    for i, s in enumerate(samples):
+        h, w = s["img"].shape[:2]
+        img[i, :h, :w] = s["img"]
+        n = min(len(s["gt_bboxes"]), max_gt)
+        if n:
+            gt_boxes[i, :n] = s["gt_bboxes"][:n]
+            gt_labels[i, :n] = s["gt_labels"][:n]
+            gt_valid[i, :n] = True
+            gt_patches[i, :n] = instance_patches(s["gt_masks"][:n], s["gt_bboxes"][:n])
+        seg = s.get("gt_semantic_seg")
+        if seg is not None:
+            sh, sw = seg.shape
+            gt_sem[i, :sh, :sw] = seg
+    return dict(
+        img=img,
+        gt_boxes=gt_boxes,
+        gt_labels=gt_labels,
+        gt_valid=gt_valid,
+        gt_patches=gt_patches,
+        gt_semantic=gt_sem,
+    )
+
+
+class PrefetchLoader:
+    """Threaded train loader: CAS/random sampling + pipeline + collation."""
+
+    def __init__(
+        self,
+        dataset,
+        pipeline,
+        batch_size: int = 8,
+        max_gt: int = 160,
+        seed: int = 0,
+        num_threads: int = 2,
+        prefetch: int = 4,
+        class_aware: Optional[bool] = None,
+    ):
+        self.dataset = dataset
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.class_aware = (
+            class_aware if class_aware is not None else isinstance(dataset, CASDataset)
+        )
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+        self._counter = 0
+        self._lock = threading.Lock()
+
+    def _next_seed(self):
+        with self._lock:
+            s = self._counter
+            self._counter += 1
+        return s
+
+    def _worker(self):
+        inner = self.dataset.dataset if isinstance(self.dataset, CASDataset) else self.dataset
+        while not self._stop.is_set():
+            rng = np.random.RandomState(self.seed + self._next_seed())
+            samples = []
+            for _ in range(self.batch_size):
+                if self.class_aware:
+                    idx = self.dataset.sample_index(rng)
+                else:
+                    idx = rng.randint(len(inner))
+                samples.append(prepare_train_sample(inner, idx, self.pipeline, rng))
+            batch = collate_train(samples, max_gt=self.max_gt)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if not self._threads:
+            for _ in range(self.num_threads):
+                t = threading.Thread(target=self._worker, daemon=True)
+                t.start()
+                self._threads.append(t)
+        while True:
+            yield self._q.get()
+
+    def close(self):
+        self._stop.set()

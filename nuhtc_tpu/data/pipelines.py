@@ -1,0 +1,372 @@
+"""Host-side data pipelines (cv2/numpy) — the mmdet pipeline equivalents.
+
+Implements the transforms the reference configs use
+(configs/nuhtc/...PanNuke...py:269-339): LoadImageFromFile/LoadAnnotations,
+PhotoMetricDistortion, Resize(keep_ratio), RandomFlip(h/v/diagonal),
+geometric RandTranslate/RandRotate/RandShear + RecomputeBox (reference
+nuhtc/datasets/pipelines/rand_aug.py), Normalize, Pad(size_divisor),
+SegRescale, and the MultiScaleFlipAug test wrapper (Resize ×2 + Normalize +
+Pad). Everything operates on a ``results`` dict:
+img (H,W,3 RGB f32), gt_bboxes (N,4), gt_labels (N,), gt_masks (N,H,W u8),
+gt_semantic_seg (H,W u8).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from nuhtc_tpu.registry import PIPELINES
+
+IMG_NORM = dict(mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375))
+
+
+# --------------------------------------------------------------------------- #
+# test-time
+# --------------------------------------------------------------------------- #
+def preprocess_test_image(
+    img: np.ndarray,
+    scale_factor: float = 2.0,
+    mean=IMG_NORM["mean"],
+    std=IMG_NORM["std"],
+    size_divisor: int = 32,
+) -> np.ndarray:
+    """RGB uint8 (H, W, 3) → normalized, rescaled, padded float32."""
+    h, w = img.shape[:2]
+    if scale_factor != 1.0:
+        img = cv2.resize(
+            img, (int(w * scale_factor + 0.5), int(h * scale_factor + 0.5)),
+            interpolation=cv2.INTER_LINEAR,
+        )
+    img = (img.astype(np.float32) - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    ph = (-img.shape[0]) % size_divisor
+    pw = (-img.shape[1]) % size_divisor
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+    return img
+
+
+# --------------------------------------------------------------------------- #
+# train transforms
+# --------------------------------------------------------------------------- #
+@PIPELINES.register()
+class PhotoMetricDistortion:
+    """Random brightness/contrast/saturation/hue (mmdet semantics)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=9):
+        self.bd = brightness_delta
+        self.cl, self.cu = contrast_range
+        self.sl, self.su = saturation_range
+        self.hd = hue_delta
+
+    def __call__(self, results, rng: np.random.RandomState):
+        img = results["img"].astype(np.float32)
+        if rng.randint(2):
+            img += rng.uniform(-self.bd, self.bd)
+        mode = rng.randint(2)
+        if mode == 1 and rng.randint(2):
+            img *= rng.uniform(self.cl, self.cu)
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
+        if rng.randint(2):
+            hsv[..., 1] *= rng.uniform(self.sl, self.su)
+        if rng.randint(2):
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-self.hd, self.hd)) % 180
+        img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+        if mode == 0 and rng.randint(2):
+            img *= rng.uniform(self.cl, self.cu)
+        results["img"] = np.clip(img, 0, 255)
+        return results
+
+
+@PIPELINES.register()
+class Resize:
+    def __init__(self, img_scale=(512, 512), keep_ratio=True):
+        self.img_scale = img_scale
+        self.keep_ratio = keep_ratio
+
+    def __call__(self, results, rng=None):
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.keep_ratio:
+            scale = min(self.img_scale[0] / h, self.img_scale[1] / w)
+            nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        else:
+            nh, nw = self.img_scale
+        sy, sx = nh / h, nw / w
+        results["img"] = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        results["scale_factor"] = np.array([sx, sy, sx, sy], np.float32)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            results["gt_bboxes"] = results["gt_bboxes"] * results["scale_factor"]
+        if "gt_masks" in results and len(results["gt_masks"]):
+            results["gt_masks"] = np.stack(
+                [cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST) for m in results["gt_masks"]]
+            )
+        if results.get("gt_semantic_seg") is not None:
+            results["gt_semantic_seg"] = cv2.resize(
+                results["gt_semantic_seg"], (nw, nh), interpolation=cv2.INTER_NEAREST
+            )
+        return results
+
+
+@PIPELINES.register()
+class RandomFlip:
+    def __init__(self, flip_ratio=0.5, direction=("horizontal", "vertical", "diagonal")):
+        self.flip_ratio = flip_ratio
+        self.direction = [direction] if isinstance(direction, str) else list(direction)
+
+    def __call__(self, results, rng: np.random.RandomState):
+        if rng.rand() >= self.flip_ratio:
+            return results
+        d = self.direction[rng.randint(len(self.direction))]
+        img = results["img"]
+        h, w = img.shape[:2]
+
+        def flip_img(x):
+            if d == "horizontal":
+                return np.ascontiguousarray(x[:, ::-1])
+            if d == "vertical":
+                return np.ascontiguousarray(x[::-1])
+            return np.ascontiguousarray(x[::-1, ::-1])
+
+        results["img"] = flip_img(img)
+        if results.get("gt_semantic_seg") is not None:
+            results["gt_semantic_seg"] = flip_img(results["gt_semantic_seg"])
+        if "gt_masks" in results and len(results["gt_masks"]):
+            results["gt_masks"] = np.stack([flip_img(m) for m in results["gt_masks"]])
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"].copy()
+            if d in ("horizontal", "diagonal"):
+                b[:, [0, 2]] = w - results["gt_bboxes"][:, [2, 0]]
+                results["gt_bboxes"] = b.copy()
+            if d in ("vertical", "diagonal"):
+                b = results["gt_bboxes"].copy()
+                b[:, [1, 3]] = h - results["gt_bboxes"][:, [3, 1]]
+                results["gt_bboxes"] = b
+        return results
+
+
+def _warp_all(results, mat: np.ndarray, seg_ignore_label: int = 0):
+    """Apply a 2×3 affine to img / masks / semantic / recompute boxes later."""
+    img = results["img"]
+    h, w = img.shape[:2]
+    results["img"] = cv2.warpAffine(img, mat, (w, h), flags=cv2.INTER_LINEAR)
+    if results.get("gt_semantic_seg") is not None:
+        results["gt_semantic_seg"] = cv2.warpAffine(
+            results["gt_semantic_seg"], mat, (w, h),
+            flags=cv2.INTER_NEAREST, borderValue=seg_ignore_label,
+        )
+    if "gt_masks" in results and len(results["gt_masks"]):
+        results["gt_masks"] = np.stack(
+            [cv2.warpAffine(m, mat, (w, h), flags=cv2.INTER_NEAREST) for m in results["gt_masks"]]
+        )
+    return results
+
+
+@PIPELINES.register()
+class RandTranslate:
+    def __init__(self, x=None, y=None, seg_ignore_label=0):
+        self.x, self.y, self.ignore = x, y, seg_ignore_label
+
+    def __call__(self, results, rng: np.random.RandomState):
+        h, w = results["img"].shape[:2]
+        tx = rng.uniform(*self.x) * w if self.x else 0.0
+        ty = rng.uniform(*self.y) * h if self.y else 0.0
+        mat = np.float32([[1, 0, tx], [0, 1, ty]])
+        return _warp_all(results, mat, self.ignore)
+
+
+@PIPELINES.register()
+class RandRotate:
+    def __init__(self, angle=(-10, 10), seg_ignore_label=0):
+        self.angle, self.ignore = angle, seg_ignore_label
+
+    def __call__(self, results, rng: np.random.RandomState):
+        h, w = results["img"].shape[:2]
+        a = rng.uniform(*self.angle)
+        mat = cv2.getRotationMatrix2D((w / 2, h / 2), a, 1.0)
+        return _warp_all(results, mat.astype(np.float32), self.ignore)
+
+
+@PIPELINES.register()
+class RandShear:
+    def __init__(self, x=None, y=None, seg_ignore_label=0):
+        self.x, self.y, self.ignore = x, y, seg_ignore_label
+
+    def __call__(self, results, rng: np.random.RandomState):
+        sx = math.tan(math.radians(rng.uniform(*self.x))) if self.x else 0.0
+        sy = math.tan(math.radians(rng.uniform(*self.y))) if self.y else 0.0
+        mat = np.float32([[1, sx, 0], [sy, 1, 0]])
+        return _warp_all(results, mat, self.ignore)
+
+
+@PIPELINES.register()
+class RecomputeBox:
+    """Recompute gt boxes from warped masks; drop empty instances
+    (reference rand_aug.py:867)."""
+
+    def __call__(self, results, rng=None):
+        masks = results.get("gt_masks")
+        if masks is None or len(masks) == 0:
+            return results
+        keep, boxes = [], []
+        for i, m in enumerate(masks):
+            ys, xs = np.nonzero(m)
+            if len(xs) == 0:
+                continue
+            keep.append(i)
+            boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+        keep = np.asarray(keep, np.int64)
+        results["gt_masks"] = masks[keep] if len(keep) else masks[:0]
+        results["gt_bboxes"] = np.asarray(boxes, np.float32).reshape(-1, 4)
+        results["gt_labels"] = results["gt_labels"][keep]
+        return results
+
+
+@PIPELINES.register()
+class OneOf:
+    def __init__(self, transforms: Sequence, rng_build=None):
+        self.transforms = [build_transform(t) for t in transforms]
+
+    def __call__(self, results, rng: np.random.RandomState):
+        t = self.transforms[rng.randint(len(self.transforms))]
+        if isinstance(t, list):
+            for tt in t:
+                results = tt(results, rng)
+            return results
+        return t(results, rng)
+
+
+@PIPELINES.register()
+class Sequential:
+    def __init__(self, transforms: Sequence, record=False):
+        self.transforms = [build_transform(t) for t in transforms]
+
+    def __call__(self, results, rng: np.random.RandomState):
+        for t in self.transforms:
+            results = t(results, rng)
+        return results
+
+
+@PIPELINES.register()
+class ShuffledSequential(Sequential):
+    def __call__(self, results, rng: np.random.RandomState):
+        order = rng.permutation(len(self.transforms))
+        for i in order:
+            results = self.transforms[i](results, rng)
+        return results
+
+
+@PIPELINES.register()
+class RandCorrupt:
+    """Image-corruption augmentation (reference rand_aug.py:979 uses the
+    ``imagecorruptions`` package, absent here — we implement a small set of
+    equivalent corruptions: gaussian noise/blur, jpeg, pixelate)."""
+
+    def __init__(self, prob=0.5, severity=(1, 3)):
+        self.prob = prob
+        self.severity = severity
+
+    def __call__(self, results, rng: np.random.RandomState):
+        if rng.rand() >= self.prob:
+            return results
+        img = np.clip(results["img"], 0, 255).astype(np.uint8)
+        sev = rng.randint(self.severity[0], self.severity[1] + 1)
+        kind = rng.randint(4)
+        if kind == 0:  # gaussian noise
+            img = np.clip(
+                img.astype(np.float32) + rng.randn(*img.shape) * (4 + 4 * sev), 0, 255
+            ).astype(np.uint8)
+        elif kind == 1:  # gaussian blur
+            img = cv2.GaussianBlur(img, (0, 0), 0.5 * sev)
+        elif kind == 2:  # jpeg
+            q = max(10, 60 - 12 * sev)
+            ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
+            img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+        else:  # pixelate
+            h, w = img.shape[:2]
+            f = 1.0 - 0.15 * sev
+            small = cv2.resize(img, (max(1, int(w * f)), max(1, int(h * f))))
+            img = cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+        results["img"] = img.astype(np.float32)
+        return results
+
+
+@PIPELINES.register()
+class Normalize:
+    def __init__(self, mean=IMG_NORM["mean"], std=IMG_NORM["std"], to_rgb=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, results, rng=None):
+        results["img"] = (results["img"].astype(np.float32) - self.mean) / self.std
+        return results
+
+
+@PIPELINES.register()
+class Pad:
+    def __init__(self, size_divisor=32):
+        self.d = size_divisor
+
+    def __call__(self, results, rng=None):
+        img = results["img"]
+        ph = (-img.shape[0]) % self.d
+        pw = (-img.shape[1]) % self.d
+        if ph or pw:
+            results["img"] = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            if results.get("gt_semantic_seg") is not None:
+                results["gt_semantic_seg"] = np.pad(
+                    results["gt_semantic_seg"], ((0, ph), (0, pw))
+                )
+            if "gt_masks" in results and len(results["gt_masks"]):
+                results["gt_masks"] = np.pad(
+                    results["gt_masks"], ((0, 0), (0, ph), (0, pw))
+                )
+        return results
+
+
+@PIPELINES.register()
+class SegRescale:
+    def __init__(self, scale_factor=0.25):
+        self.f = scale_factor
+
+    def __call__(self, results, rng=None):
+        seg = results.get("gt_semantic_seg")
+        if seg is not None:
+            h, w = seg.shape
+            results["gt_semantic_seg"] = cv2.resize(
+                seg, (int(w * self.f), int(h * self.f)), interpolation=cv2.INTER_NEAREST
+            )
+        return results
+
+
+_SKIP = {"LoadImageFromFile", "LoadAnnotations", "CusLoadAnnotations",
+         "DefaultFormatBundle", "Collect", "MultiScaleFlipAug", "ImageToTensor"}
+
+
+def build_transform(cfg):
+    if isinstance(cfg, list):
+        return [build_transform(c) for c in cfg]
+    cfg = dict(cfg)
+    typ = cfg.pop("type")
+    if typ in _SKIP:
+        return None
+    return PIPELINES.get(typ)(**cfg)
+
+
+def build_train_pipeline(cfgs: List[dict]) -> List:
+    out = []
+    for c in cfgs:
+        t = build_transform(c)
+        if t is not None:
+            out.append(t)
+    return out
+
+
+def run_pipeline(transforms: List, results: dict, rng: np.random.RandomState) -> dict:
+    for t in transforms:
+        results = t(results, rng)
+    return results

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -247,6 +248,212 @@ class NuHTC(nn.Module):
         mask_probs = self._mask_forward(feats, semantic_feat, mask_boxes)
         det["mask_probs"] = mask_probs
         return det
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+    def compute_losses(self, img, batch, cum_samples, deterministic: bool = False):
+        """Full HTC training losses, batched and static-shape.
+
+        Mirrors the reference train path (HybridTaskCascade_Cus.forward_train
+        → HybridTaskCascadeRoIHead_Lite.forward_train, reference
+        nuhtc/models/htc_cus.py:43 and htc_roi_head_cus.py:2048-2182):
+        RPN assign/sample/losses, train-cfg proposals, semantic Dice loss,
+        watershed (component) proposal injection, 3 interleaved cascade
+        stages with re-assignment, mask Dice loss at the final stage.
+
+        batch keys: gt_boxes (B,G,4), gt_labels (B,G), gt_valid (B,G),
+        gt_patches (B,G,M,M), gt_semantic (B,Hs,Ws) int.
+        cum_samples: (num_stages, C) seesaw class counters.
+        Returns (losses dict incl. "total", new_cum_samples).
+        """
+        from nuhtc_tpu.ops.anchors import grid_anchors
+        from nuhtc_tpu.train import targets as T
+        from nuhtc_tpu.models import losses as L
+        from nuhtc_tpu.models.rpn_head import rpn_proposals
+
+        gt_boxes = batch["gt_boxes"]
+        gt_labels = batch["gt_labels"]
+        gt_valid = batch["gt_valid"]
+        b, g = gt_labels.shape
+        h, w = img.shape[1:3]
+        img_shape = (h, w)
+        rng = self.make_rng("sampling")
+
+        feats = self.extract_feats(img, deterministic=deterministic)
+        losses = {}
+
+        # ---- RPN ---------------------------------------------------------
+        cls_scores, bbox_preds = self.rpn_head(feats)
+        featmap_sizes = [tuple(cs.shape[1:3]) for cs in cls_scores]
+        anchors = jnp.asarray(
+            np.concatenate(grid_anchors(featmap_sizes, self.strides, (4,), (0.5, 1.0, 2.0)))
+        )
+        inside = (
+            (anchors[:, 0] >= 0) & (anchors[:, 1] >= 0)
+            & (anchors[:, 2] <= w) & (anchors[:, 3] <= h)
+        )
+        flat_cls = jnp.concatenate([c.reshape(b, -1) for c in cls_scores], axis=1)
+        flat_reg = jnp.concatenate([r.reshape(b, -1, 4) for r in bbox_preds], axis=1)
+
+        def rpn_single(key, gtb, gtl, gtv):
+            assign = T.max_iou_assign(
+                anchors, inside, gtb, gtv, gtl,
+                pos_thr=0.7, neg_thr=0.3, min_pos_iou=0.3, match_low_quality=True,
+            )
+            samp = T.random_sample(key, assign, num=1024, pos_fraction=0.5, num_classes=1)
+            tgt, _ = T.encode_stage_targets(anchors[samp.idx], samp, gtb, (1.0, 1.0, 1.0, 1.0))
+            return samp.idx, samp.is_pos, samp.valid, tgt
+
+        keys = jax.random.split(rng, b * (2 + 2 * self.num_stages)).reshape(
+            b, 2 + 2 * self.num_stages, 2
+        )
+        r_idx, r_pos, r_val, r_tgt = jax.vmap(rpn_single)(
+            keys[:, 0], gt_boxes, gt_labels, gt_valid
+        )
+        sel_cls = jnp.take_along_axis(flat_cls, r_idx, axis=1)
+        sel_reg = jnp.take_along_axis(flat_reg, r_idx[..., None], axis=1)
+        num_total = jnp.maximum(jnp.sum(r_val), 1.0)
+        losses["loss_rpn_cls"] = (
+            jnp.sum(L.sigmoid_ce(sel_cls, r_pos.astype(jnp.float32)) * r_val) / num_total
+        )
+        losses["loss_rpn_bbox"] = (
+            jnp.sum(L.smooth_l1(sel_reg, r_tgt, beta=1.0 / 9.0) * r_pos[..., None]) / num_total
+        )
+
+        # train-cfg proposals (nms_pre 6000, max 3000)
+        prop_boxes, prop_scores, prop_valid = rpn_proposals(
+            cls_scores, bbox_preds, img_shape, strides=self.strides,
+            nms_pre=6000, max_per_img=3000, nms_iou=self.rpn_nms_iou,
+            min_bbox_size=self.rpn_min_bbox_size,
+        )
+        prop_boxes = jax.lax.stop_gradient(prop_boxes)
+
+        # ---- semantic head -------------------------------------------------
+        semantic_logits, semantic_feat = self.semantic_head(feats)
+        gt_sem = batch["gt_semantic"]
+        sem_target = (gt_sem != 0).astype(jnp.float32)
+        losses["loss_semantic_seg"] = L.dice_loss(
+            jax.nn.sigmoid(semantic_logits[..., 0]), sem_target
+        )
+
+        # ---- watershed proposal injection ---------------------------------
+        if self.watershed_proposal:
+            ws_boxes5, ws_valid = jax.vmap(
+                lambda sl: component_proposals(
+                    jax.lax.stop_gradient(sl[..., 0]), img_shape,
+                    max_components=self.watershed_max, min_area=self.watershed_min_area,
+                )
+            )(semantic_logits)
+            proposals = jnp.concatenate([ws_boxes5[..., :4], prop_boxes], axis=1)
+            proposals_valid = jnp.concatenate([ws_valid, prop_valid], axis=1)
+        else:
+            proposals, proposals_valid = prop_boxes, prop_valid
+
+        # ---- cascade stages (interleaved) ----------------------------------
+        stage_cfg = ((0.5, 0.5, 0.5), (0.6, 0.6, 0.6), (0.7, 0.7, 0.7))
+        stage_lw = (1.0, 0.5, 0.25)
+        new_cum = []
+        final_rois = None
+        final_sample = None
+
+        for stage in range(self.num_stages):
+            pos_thr, neg_thr, min_pos = stage_cfg[stage]
+
+            def assign_sample(key, props, pvalid, gtb, gtl, gtv):
+                cand = jnp.concatenate([gtb, props], axis=0)
+                cand_valid = jnp.concatenate([gtv, pvalid], axis=0)
+                assign = T.max_iou_assign(
+                    cand, cand_valid, gtb, gtv, gtl,
+                    pos_thr=pos_thr, neg_thr=neg_thr, min_pos_iou=min_pos,
+                    match_low_quality=True,
+                )
+                samp = T.random_sample(key, assign, num=1024, pos_fraction=0.25,
+                                       num_classes=self.num_classes)
+                rois = cand[samp.idx]
+                is_gt = samp.is_pos & (samp.idx < g)
+                return rois, samp, is_gt
+
+            rois, samp, is_gt = jax.vmap(assign_sample)(
+                keys[:, 2 + 2 * stage], proposals, proposals_valid,
+                gt_boxes, gt_labels, gt_valid,
+            )
+
+            cls_score, bbox_pred = self._bbox_stage(stage, feats, semantic_feat, rois)
+
+            # targets
+            def stage_targets(r, s, gtb):
+                return T.encode_stage_targets(r, s, gtb, STAGE_STDS[stage])
+
+            bbox_tgt, bbox_w = jax.vmap(stage_targets)(rois, samp, gt_boxes)
+
+            flat_w = samp.valid.reshape(-1).astype(jnp.float32)
+            loss_cls, loss_obj, cum = L.seesaw_loss(
+                cls_score.reshape(-1, self.num_classes + 2),
+                samp.labels.reshape(-1),
+                flat_w,
+                cum_samples[stage],
+            )
+            avg = jnp.maximum(jnp.sum(flat_w), 1.0)
+            loss_bbox = jnp.sum(
+                L.smooth_l1(bbox_pred, bbox_tgt, beta=1.0) * bbox_w[..., None]
+            ) / avg
+            losses[f"s{stage}.loss_cls"] = stage_lw[stage] * loss_cls
+            losses[f"s{stage}.loss_obj"] = stage_lw[stage] * loss_obj
+            losses[f"s{stage}.loss_bbox"] = stage_lw[stage] * loss_bbox
+            new_cum.append(cum)
+
+            # interleaved refine + re-assign/re-sample
+            refined = jax.lax.stop_gradient(
+                box_ops.delta2bbox(rois, bbox_pred, stds=STAGE_STDS[stage], max_shape=img_shape)
+            )
+            refined_valid = samp.valid & ~is_gt
+            rois2, samp2, _ = jax.vmap(assign_sample)(
+                keys[:, 3 + 2 * stage], refined, refined_valid,
+                gt_boxes, gt_labels, gt_valid,
+            )
+            proposals, proposals_valid = refined, refined_valid
+            if stage == self.num_stages - 1:
+                final_rois, final_sample = rois2, samp2
+
+        # ---- mask head (final stage positives; sampler orders pos first) ---
+        mask_cap = 256
+        mrois = final_rois[:, :mask_cap]
+        mpos = final_sample.is_pos[:, :mask_cap]
+        mgt = final_sample.gt_inds[:, :mask_cap]
+        mask_probs_logits = self._mask_train_forward(feats, semantic_feat, mrois)
+
+        def mk_targets(r, gi, gtb, gtp):
+            return T.mask_targets_from_patches(r, gi, gtb, gtp, mask_size=28)
+
+        mtgt = jax.vmap(mk_targets)(mrois, mgt, gt_boxes, batch["gt_patches"])
+        mprobs = jax.nn.sigmoid(mask_probs_logits.reshape(-1, 28, 28))
+        losses["s2.loss_mask"] = stage_lw[-1] * L.dice_loss(
+            mprobs, mtgt.reshape(-1, 28, 28), weight=mpos.reshape(-1).astype(jnp.float32),
+        )
+
+        losses["total"] = sum(losses.values())
+        return losses, jnp.stack(new_cum)
+
+    def _mask_train_forward(self, feats, semantic_feat, boxes):
+        """(B, S, 4) → mask logits (B, S, 28, 28) (no info-flow at train,
+        reference _mask_forward_train passes last_feat=None)."""
+        b, s, _ = boxes.shape
+
+        def per_image(f_tuple, sem, r):
+            rf = attention_roi_features(
+                f_tuple, r, output_size=14, sampling_ratio=0,
+                strides=self.strides, start_level=self.attn_start_level,
+                thres=self.attn_thres,
+            )
+            sem_rf = single_roi_features(sem, r, output_size=14, stride=self.strides[0])
+            return rf + sem_rf
+
+        mf = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
+        logits = self.mask_head(
+            mf.reshape(b * s, 14, 14, -1), res_feat=None, return_logits=True, return_feat=False
+        )
+        return logits[..., 0].reshape(b, s, 28, 28)
 
     # ------------------------------------------------------------------ #
     def _multiclass_nms(self, boxes, scores, valid):

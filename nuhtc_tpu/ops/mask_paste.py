@@ -36,7 +36,7 @@ def _paste_matrix(b0: jnp.ndarray, b1: jnp.ndarray, out_size: int, mask_size: in
     return onehot_inrange(low_i) * (1.0 - frac)[..., None] + onehot_inrange(high_i) * frac[..., None]
 
 
-@partial(jax.jit, static_argnames=("out_shape", "chunk"))
+@partial(jax.jit, static_argnames=("out_shape", "threshold", "chunk"))
 def paste_masks(
     masks: jnp.ndarray,  # (N, M, M) mask probabilities (post-sigmoid)
     boxes: jnp.ndarray,  # (N, 4) in output-frame coords

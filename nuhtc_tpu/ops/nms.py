@@ -115,6 +115,10 @@ def nms(
     svalid = valid[order]
     keep = nms_keep_sorted(sboxes, svalid, iou_threshold, tile=tile)
     kept_scores = jnp.where(keep, scores_m[order], NEG_INF)
+    if max_out > kept_scores.shape[0]:  # fewer candidates than output slots
+        pad = max_out - kept_scores.shape[0]
+        kept_scores = jnp.pad(kept_scores, (0, pad), constant_values=NEG_INF)
+        order = jnp.pad(order, (0, pad))
     top_scores, top_pos = jax.lax.top_k(kept_scores, max_out)
     out_idx = order[top_pos]
     out_valid = top_scores > NEG_INF / 2

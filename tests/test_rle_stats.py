@@ -110,8 +110,25 @@ def test_aji_penalizes_split():
 def test_stat_calc_keys():
     t = _blob_map([(10, 10)])
     res = S.stat_calc(t, t.copy())
-    for k in ("aji", "aji_plus", "dq", "sq", "pq", "dice", "dice2"):
+    for k in ("aji", "aji_plus", "dq", "sq", "pq", "dice", "precision", "recall", "tp", "fp", "fn", "iou"):
         assert k in res
+    assert res["tp"] == 1 and res["fp"] == 0 and res["fn"] == 0
+
+
+def test_tables_agree_across_representations(rng):
+    from nuhtc_tpu.ops import rle as R2
+
+    t = _blob_map([(10, 10), (30, 30)])
+    p = _blob_map([(11, 10), (40, 45)])
+    tm = np.stack([(t == i).astype(np.uint8) for i in (1, 2)])
+    pm = np.stack([(p == i).astype(np.uint8) for i in (1, 2)])
+    a = S.tables_from_labelmaps(t, p)
+    b = S.tables_from_masks(tm, pm)
+    c = S.tables_from_rles([R2.encode(m) for m in tm], [R2.encode(m) for m in pm])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-9)
+    for x, y in zip(a, c):
+        np.testing.assert_allclose(x, y, rtol=1e-9, atol=1e-6)
 
 
 def test_pair_coordinates():

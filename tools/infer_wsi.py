@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Whole-slide inference (reference tools/infer_wsi.py).
+
+Stage A: tissue segmentation + patch grid (+ optional mask/stitch previews);
+Stage B: streamed TPU tile inference → per-nucleus GeoJSON/DSA/COCO/SQLite.
+
+Usage:
+  python tools/infer_wsi.py <wsi_dir> <config> [checkpoint] \\
+      --patch --seg --stitch --save_dir results --mode qupath
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("source")
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", nargs="?", default=None)
+    ap.add_argument("--step_size", type=int, default=192)
+    ap.add_argument("--patch_size", type=int, default=256)
+    ap.add_argument("--patch", action="store_true")
+    ap.add_argument("--seg", action="store_true")
+    ap.add_argument("--stitch", action="store_true")
+    ap.add_argument("--no_auto_skip", action="store_true")
+    ap.add_argument("--save_dir", default="results")
+    ap.add_argument("--mag", type=int, default=40)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--num_workers", type=int, default=2)
+    ap.add_argument("--margin", type=int, default=0)
+    ap.add_argument("--min_area", type=int, default=10)
+    ap.add_argument("--slide_ext", default=".svs")
+    ap.add_argument("--mode", default="qupath", choices=["qupath", "dsa", "coco", "sql", "all"])
+    ap.add_argument("--use_otsu", action="store_true")
+    args = ap.parse_args()
+
+    import cv2
+    import pandas as pd
+
+    from nuhtc_tpu.apis import init_detector
+    from nuhtc_tpu.config import Config
+    from nuhtc_tpu.registry import DATASETS
+    from nuhtc_tpu.wsi.slide import open_slide
+    from nuhtc_tpu.wsi.tissue import segment_tissue, grid_coords, save_coords_h5, load_coords_h5
+    from nuhtc_tpu.wsi.stitch import stitch_coords, vis_tissue_mask
+    from nuhtc_tpu.wsi.infer import infer_slide
+
+    for sub in ("patches", "masks", "stitches", "nuclei"):
+        os.makedirs(os.path.join(args.save_dir, sub), exist_ok=True)
+
+    cfg = Config.fromfile(args.config)
+    # test-time rescale follows magnification: scale_factor = 80 / mag
+    scale_factor = 80.0 / args.mag
+    classes = DATASETS.get(cfg.get("dataset", "PanNukeCocoDataset")).CLASSES
+
+    slides = sorted(
+        f for f in os.listdir(args.source) if os.path.isfile(os.path.join(args.source, f))
+    )
+    status_rows = []
+
+    # ---------------- Stage A: seg + patch + stitch ----------------------
+    for slide_name in slides:
+        slide_id = os.path.splitext(slide_name)[0]
+        h5_path = os.path.join(args.save_dir, "patches", slide_id + ".h5")
+        row = dict(slide_id=slide_name, status="processed")
+        if not args.no_auto_skip and os.path.exists(h5_path):
+            row["status"] = "already_exist"
+            status_rows.append(row)
+            continue
+        slide = open_slide(os.path.join(args.source, slide_name))
+        t0 = time.time()
+        seg = segment_tissue(slide, use_otsu=args.use_otsu)
+        seg_t = time.time() - t0
+        if args.seg:
+            vis = vis_tissue_mask(slide, seg)
+            cv2.imwrite(
+                os.path.join(args.save_dir, "masks", slide_id + ".png"),
+                cv2.cvtColor(vis, cv2.COLOR_RGB2BGR),
+            )
+        t0 = time.time()
+        coords = grid_coords(slide, seg, args.patch_size, args.step_size)
+        patch_t = time.time() - t0
+        if args.patch:
+            save_coords_h5(
+                h5_path, coords,
+                attrs=dict(patch_size=args.patch_size, step_size=args.step_size,
+                           patch_level=0, name=slide_id),
+            )
+        stitch_t = 0.0
+        if args.stitch and len(coords):
+            t0 = time.time()
+            mosaic = stitch_coords(slide, coords, args.patch_size)
+            cv2.imwrite(
+                os.path.join(args.save_dir, "stitches", slide_id + ".jpg"),
+                cv2.cvtColor(mosaic, cv2.COLOR_RGB2BGR),
+            )
+            stitch_t = time.time() - t0
+        print(
+            f"{slide_id}: {len(coords)} patches "
+            f"(seg {seg_t:.1f}s, patch {patch_t:.1f}s, stitch {stitch_t:.1f}s)"
+        )
+        row.update(n_patches=len(coords), seg_time=seg_t, patch_time=patch_t)
+        status_rows.append(row)
+    pd.DataFrame(status_rows).to_csv(
+        os.path.join(args.save_dir, "process_list_autogen.csv"), index=False
+    )
+
+    # ---------------- Stage B: tile inference ---------------------------
+    engine = init_detector(cfg, args.checkpoint, batch_size=args.batch_size)
+    engine.scale_factor = scale_factor
+
+    for slide_name in slides:
+        slide_id = os.path.splitext(slide_name)[0]
+        h5_path = os.path.join(args.save_dir, "patches", slide_id + ".h5")
+        if not os.path.exists(h5_path):
+            print(f"skip {slide_id}: no coord file")
+            continue
+        nuclei_dir = os.path.join(args.save_dir, "nuclei", slide_id)
+        if os.path.exists(os.path.join(nuclei_dir, f"{slide_id}_merged.geojson")):
+            print(f"skip {slide_id}: existing results")
+            continue
+        coords, _ = load_coords_h5(h5_path)
+        slide = open_slide(os.path.join(args.source, slide_name))
+        stats = infer_slide(
+            engine, slide, coords, nuclei_dir, slide_id, classes,
+            patch_size=args.patch_size, mode=args.mode,
+            margin=args.margin, min_area=args.min_area,
+            num_read_threads=args.num_workers,
+        )
+        print(f"{slide_id}: {stats}")
+
+
+if __name__ == "__main__":
+    main()

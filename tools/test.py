@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Dataset evaluation (reference tools/test.py): batched patch inference over
+a COCO test split + AJI/PQ/mPQ metric suite.
+
+Usage:
+  python tools/test.py <config> [checkpoint] --eval segm \\
+      --eval-options save=True format=pannuke save_path=infer overlay=True
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_eval_options(opts):
+    out = {}
+    for kv in opts or []:
+        k, v = kv.split("=", 1)
+        if v in ("True", "False"):
+            v = v == "True"
+        else:
+            try:
+                v = float(v) if "." in v else int(v)
+            except ValueError:
+                pass
+        out[k] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", nargs="?", default=None)
+    ap.add_argument("--eval", nargs="+", default=["segm"])
+    ap.add_argument("--eval-options", nargs="+", default=None)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--limit", type=int, default=0, help="evaluate only the first N images")
+    ap.add_argument("--out-json", default=None)
+    args = ap.parse_args()
+
+    from nuhtc_tpu.apis import init_detector
+    from nuhtc_tpu.config import Config
+    from nuhtc_tpu.data import build_dataset
+    from nuhtc_tpu.eval.evaluate import evaluate_dataset
+    from nuhtc_tpu.ops import rle as rle_ops
+
+    cfg = Config.fromfile(args.config)
+    dataset = build_dataset({**cfg.data.test, "test_mode": True})
+    engine = init_detector(cfg, args.checkpoint, batch_size=args.batch_size)
+
+    n = len(dataset) if not args.limit else min(args.limit, len(dataset))
+    results = []
+    t0 = time.perf_counter()
+    for start in range(0, n, args.batch_size):
+        idxs = range(start, min(start + args.batch_size, n))
+        imgs = [dataset.load_image(i) for i in idxs]
+        for res in engine.run_batch(imgs):
+            # convert masks to RLE + reference result tuple contract
+            bboxes, segms = [], []
+            for c in range(engine.num_classes):
+                sel = res["labels"] == c
+                bboxes.append(
+                    np.concatenate([res["boxes"][sel], res["scores"][sel][:, None]], 1).astype(
+                        np.float32
+                    )
+                )
+                segms.append([rle_ops.encode(m) for m in res["masks"][sel]])
+            results.append((bboxes, segms))
+        done = min(start + args.batch_size, n)
+        rate = done / (time.perf_counter() - t0)
+        print(f"\r{done}/{n} imgs ({rate:.1f} img/s)", end="", flush=True)
+    print()
+
+    eval_opts = parse_eval_options(args.eval_options)
+    metrics = evaluate_dataset(
+        dataset if not args.limit else _SlicedDataset(dataset, n),
+        results,
+        save=eval_opts.get("save", False),
+        save_path=eval_opts.get("save_path", "infer"),
+        data_format=eval_opts.get("format", "conic"),
+        overlay=eval_opts.get("overlay", False),
+    )
+    for k, v in metrics.items():
+        if k != "confusion_matrix":
+            print(f"{k}: {v:.4f}")
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump({k: v for k, v in metrics.items()}, f, indent=2)
+
+
+class _SlicedDataset:
+    def __init__(self, ds, n):
+        self._ds = ds
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getattr__(self, k):
+        return getattr(self._ds, k)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Per-nucleus morphometric feature extraction from merged GeoJSON
+(reference tools/wsi_feat_extract.py): crop each nucleus from the slide,
+compute shape/intensity/texture features, write CSV (and optional SQLite).
+
+Usage: python tools/wsi_feat_extract.py <wsi_dir> --segdir results \\
+           [--mag 40] [--sql]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def extract_slide_features(slide_path: str, geojson_path: str, out_csv: str,
+                           mag: int = 40, pad: int = 5, sql: bool = False):
+    import cv2
+    import pandas as pd
+
+    from nuhtc_tpu.wsi.slide import open_slide
+    from nuhtc_tpu.wsi.features import nucleus_features
+    from nuhtc_tpu.wsi.merge import polygon_of_feature
+
+    slide = open_slide(slide_path)
+    with open(geojson_path) as f:
+        data = json.load(f)
+    feats_json = data["features"] if isinstance(data, dict) else data
+
+    rows = []
+    for fi, feat in enumerate(feats_json):
+        poly = polygon_of_feature(feat)
+        x1, y1 = np.floor(poly.min(0)).astype(int) - pad
+        x2, y2 = np.ceil(poly.max(0)).astype(int) + pad
+        x1, y1 = max(x1, 0), max(y1, 0)
+        w, h = x2 - x1, y2 - y1
+        if w <= 0 or h <= 0 or w * h > 4_000_000:
+            continue
+        crop = slide.read_region((int(x1), int(y1)), 0, (int(w), int(h)))
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, [np.round(poly - [x1, y1]).astype(np.int32)], 1)
+        row = nucleus_features(crop, mask, offset=(x1, y1))
+        if row is None:
+            continue
+        props = feat.get("properties", {})
+        row["label"] = props.get("label", -1)
+        row["class"] = props.get("classification", {}).get("name", "")
+        row["score"] = props.get("score", 0.0)
+        row["nucleus_id"] = fi
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    df.to_csv(out_csv, index=False)
+    if sql:
+        import sqlite3
+
+        conn = sqlite3.connect(os.path.splitext(out_csv)[0] + ".db")
+        df.to_sql("nuclei_features", conn, if_exists="replace", index=False)
+        conn.close()
+    return len(rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("source")
+    ap.add_argument("--segdir", required=True, help="results dir containing nuclei/<slide>/")
+    ap.add_argument("--mag", type=int, default=40)
+    ap.add_argument("--sql", action="store_true")
+    ap.add_argument("--slide_ext", default=".svs")
+    args = ap.parse_args()
+
+    slides = sorted(
+        f for f in os.listdir(args.source) if os.path.isfile(os.path.join(args.source, f))
+    )
+    for slide_name in slides:
+        slide_id = os.path.splitext(slide_name)[0]
+        nd = os.path.join(args.segdir, "nuclei", slide_id)
+        gj = os.path.join(nd, f"{slide_id}_merged.geojson")
+        if not os.path.exists(gj):
+            gj = os.path.join(nd, f"{slide_id}.geojson")
+        if not os.path.exists(gj):
+            print(f"skip {slide_id}: no geojson")
+            continue
+        out_csv = os.path.join(nd, f"{slide_id}_features.csv")
+        n = extract_slide_features(
+            os.path.join(args.source, slide_name), gj, out_csv, args.mag, sql=args.sql
+        )
+        print(f"{slide_id}: {n} nuclei → {out_csv}")
+
+
+if __name__ == "__main__":
+    main()
