@@ -34,6 +34,9 @@ class InferenceEngine:
         import jax
         import jax.numpy as jnp
         from nuhtc_tpu.ops.mask_paste import paste_masks as paste_fn
+        from nuhtc_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
         self.model = model
         self.params = params

@@ -370,3 +370,215 @@ def run_pipeline(transforms: List, results: dict, rng: np.random.RandomState) ->
     for t in transforms:
         results = t(results, rng)
     return results
+
+
+# --------------------------------------------------------------------------- #
+# color ops + resize variants + semi-sup wrappers (reference rand_aug.py:120-263,
+# resize_scale.py, MultiBranch rand_aug.py:1038)
+# --------------------------------------------------------------------------- #
+@PIPELINES.register()
+class AutoContrast:
+    def __init__(self, prob=0.5):
+        self.prob = prob
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        img = np.clip(results["img"], 0, 255)
+        lo, hi = img.min(), img.max()
+        if hi > lo:
+            results["img"] = (img - lo) * (255.0 / (hi - lo))
+        return results
+
+
+@PIPELINES.register()
+class RandEqualize:
+    def __init__(self, prob=0.5):
+        self.prob = prob
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        img = np.clip(results["img"], 0, 255).astype(np.uint8)
+        chans = [cv2.equalizeHist(img[..., c]) for c in range(3)]
+        results["img"] = np.stack(chans, -1).astype(np.float32)
+        return results
+
+
+@PIPELINES.register()
+class RandSolarize:
+    def __init__(self, prob=0.5, threshold=128):
+        self.prob, self.threshold = prob, threshold
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        img = np.clip(results["img"], 0, 255)
+        thr = rng.uniform(0, self.threshold) if hasattr(self.threshold, "__len__") is False else self.threshold
+        results["img"] = np.where(img >= thr, 255.0 - img, img)
+        return results
+
+
+@PIPELINES.register()
+class RandColor:
+    """Random color jitter towards grayscale (PIL Color enhance analog)."""
+
+    def __init__(self, prob=0.5, factor=(0.5, 1.5)):
+        self.prob, self.factor = prob, factor
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        img = np.clip(results["img"], 0, 255)
+        gray = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2GRAY).astype(np.float32)[..., None]
+        f = rng.uniform(*self.factor)
+        results["img"] = np.clip(gray + f * (img - gray), 0, 255)
+        return results
+
+
+@PIPELINES.register()
+class RandBrightness:
+    def __init__(self, prob=0.5, factor=(0.5, 1.5)):
+        self.prob, self.factor = prob, factor
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        results["img"] = np.clip(results["img"] * rng.uniform(*self.factor), 0, 255)
+        return results
+
+
+@PIPELINES.register()
+class RandContrast:
+    def __init__(self, prob=0.5, factor=(0.5, 1.5)):
+        self.prob, self.factor = prob, factor
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        img = np.clip(results["img"], 0, 255)
+        mean = img.mean()
+        results["img"] = np.clip(mean + rng.uniform(*self.factor) * (img - mean), 0, 255)
+        return results
+
+
+@PIPELINES.register()
+class RandSharpness:
+    def __init__(self, prob=0.5, factor=(0.0, 2.0)):
+        self.prob, self.factor = prob, factor
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        img = np.clip(results["img"], 0, 255).astype(np.float32)
+        blur = cv2.GaussianBlur(img, (3, 3), 0)
+        f = rng.uniform(*self.factor)
+        results["img"] = np.clip(blur + f * (img - blur), 0, 255)
+        return results
+
+
+@PIPELINES.register()
+class RandErase:
+    """Random rectangular cutout patches (reference rand_aug.py RandErase)."""
+
+    def __init__(self, prob=0.7, n_iterations=(1, 5), size=(0.0, 0.2), squared=True):
+        self.prob, self.n_iterations, self.size, self.squared = prob, n_iterations, size, squared
+
+    def __call__(self, results, rng):
+        if rng.rand() >= self.prob:
+            return results
+        img = results["img"]
+        h, w = img.shape[:2]
+        n = rng.randint(self.n_iterations[0], self.n_iterations[1] + 1)
+        for _ in range(n):
+            sw = rng.uniform(*self.size)
+            sh = sw if self.squared else rng.uniform(*self.size)
+            ph, pw = max(int(h * sh), 1), max(int(w * sw), 1)
+            y0, x0 = rng.randint(0, max(h - ph, 1)), rng.randint(0, max(w - pw, 1))
+            img[y0 : y0 + ph, x0 : x0 + pw] = 125
+        results["img"] = img
+        return results
+
+
+@PIPELINES.register()
+class Resize_Scale(Resize):
+    """Resize by a fixed scale factor (reference resize_scale.py)."""
+
+    def __init__(self, scale_factor=2.0):
+        self.scale_factor = scale_factor
+        self.keep_ratio = True
+
+    def __call__(self, results, rng=None):
+        h, w = results["img"].shape[:2]
+        self.img_scale = (int(h * self.scale_factor + 0.5), int(w * self.scale_factor + 0.5))
+        return super().__call__(results, rng)
+
+
+@PIPELINES.register()
+class SmartResize(Resize):
+    """Resize to target with aspect-preserving choice of scale per image."""
+
+
+@PIPELINES.register()
+class CusRandomCrop:
+    def __init__(self, crop_size=(256, 256)):
+        self.crop_size = crop_size
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        h, w = img.shape[:2]
+        ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+
+        def crop(x):
+            return np.ascontiguousarray(x[y0 : y0 + ch, x0 : x0 + cw])
+
+        results["img"] = crop(img)
+        if results.get("gt_semantic_seg") is not None:
+            results["gt_semantic_seg"] = crop(results["gt_semantic_seg"])
+        if "gt_masks" in results and len(results["gt_masks"]):
+            results["gt_masks"] = np.stack([crop(m) for m in results["gt_masks"]])
+            results["gt_bboxes"] = results["gt_bboxes"] - [x0, y0, x0, y0]
+            return RecomputeBox()(results, rng)
+        return results
+
+
+@PIPELINES.register()
+class FOVCrop(CusRandomCrop):
+    """Center field-of-view crop (reference resize_scale.py FOVCrop)."""
+
+    def __call__(self, results, rng):
+        img = results["img"]
+        h, w = img.shape[:2]
+        ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+
+        def crop(x):
+            return np.ascontiguousarray(x[y0 : y0 + ch, x0 : x0 + cw])
+
+        results["img"] = crop(img)
+        if results.get("gt_semantic_seg") is not None:
+            results["gt_semantic_seg"] = crop(results["gt_semantic_seg"])
+        if "gt_masks" in results and len(results["gt_masks"]):
+            results["gt_masks"] = np.stack([crop(m) for m in results["gt_masks"]])
+            results["gt_bboxes"] = results["gt_bboxes"] - [x0, y0, x0, y0]
+            return RecomputeBox()(results, rng)
+        return results
+
+
+@PIPELINES.register()
+class MultiBranch:
+    """Produce multiple augmented views of one sample (semi-supervised
+    teacher/student; reference rand_aug.py:1038). Returns a dict of branches."""
+
+    def __init__(self, **branches):
+        self.branches = {k: build_train_pipeline(v) for k, v in branches.items()}
+
+    def __call__(self, results, rng):
+        import copy
+
+        return {
+            name: run_pipeline(p, copy.deepcopy(results), rng)
+            for name, p in self.branches.items()
+        }

@@ -1,0 +1,105 @@
+"""Semi-/partial-supervision components.
+
+Reference inventory (SURVEY.md §2a): MultiSteamDetector teacher/student
+container (nuhtc/models/multi_stream_detector.py:5), MaskRCNN_Cus
+(mask_rcnn_part.py:11) and RoIHead_Partial (roi_head_partial.py:9) for the
+NuCLS partial-mask training path, plus the MeanTeacher EMA hook
+(nuhtc/utils/hooks/mean_teacher.py:8).
+
+In the functional JAX design the teacher/student pair is two parameter trees
+over ONE module; the teacher is updated by EMA and generates pseudo labels
+under stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nuhtc_tpu.registry import DETECTORS
+
+
+class TeacherStudentState(NamedTuple):
+    student_params: Any
+    teacher_params: Any
+
+
+def mean_teacher_update(state: TeacherStudentState, momentum: float = 0.999) -> TeacherStudentState:
+    """EMA teacher update (reference MeanTeacher hook)."""
+    new_teacher = jax.tree.map(
+        lambda t, s: momentum * t + (1.0 - momentum) * s,
+        state.teacher_params,
+        state.student_params,
+    )
+    return TeacherStudentState(state.student_params, new_teacher)
+
+
+@DETECTORS.register()
+class MultiStreamDetector:
+    """Teacher/student container over a shared detector module.
+
+    ``pseudo_label`` runs the teacher's inference on the unsupervised batch
+    and converts confident detections into training targets.
+    """
+
+    def __init__(self, model, score_thr: float = 0.9, max_gt: int = 128):
+        self.model = model
+        self.score_thr = score_thr
+        self.max_gt = max_gt
+
+    def pseudo_label(self, teacher_params, img) -> Dict[str, jnp.ndarray]:
+        det = jax.lax.stop_gradient(self.model.apply(teacher_params, img))
+        conf = det["valid"] & (det["scores"] >= self.score_thr)
+        g = self.max_gt
+        boxes = det["boxes"][:, :g] * self.model.scale_factor  # back to input frame
+        return dict(
+            gt_boxes=jnp.where(conf[:, :g, None], boxes, 0.0),
+            gt_labels=jnp.where(conf[:, :g], det["labels"][:, :g], 0).astype(jnp.int32),
+            gt_valid=conf[:, :g],
+        )
+
+    def semi_loss(
+        self,
+        student_params,
+        teacher_params,
+        sup_batch: Dict[str, jnp.ndarray],
+        unsup_img,
+        cum_samples,
+        unsup_weight: float = 1.0,
+        rngs=None,
+    ):
+        sup_losses, cum = self.model.apply(
+            student_params, sup_batch["img"], sup_batch, cum_samples,
+            method="compute_losses", rngs=rngs,
+        )
+        pseudo = self.pseudo_label(teacher_params, unsup_img)
+        # pseudo batch reuses the supervised mask/semantic targets as empty
+        b, g = pseudo["gt_labels"].shape
+        patch = jnp.zeros((b, g, 64, 64), jnp.float32)
+        sem = jnp.zeros((b, unsup_img.shape[1] // 4, unsup_img.shape[2] // 4), jnp.int32)
+        unsup_batch = dict(pseudo, gt_patches=patch, gt_semantic=sem, img=unsup_img)
+        unsup_losses, cum = self.model.apply(
+            student_params, unsup_img, unsup_batch, cum,
+            method="compute_losses", rngs=rngs,
+        )
+        total = sup_losses["total"] + unsup_weight * (
+            unsup_losses["s0.loss_cls"] + unsup_losses["s0.loss_obj"]
+            + unsup_losses["s0.loss_bbox"] + unsup_losses["loss_rpn_cls"]
+            + unsup_losses["loss_rpn_bbox"]
+        )
+        out = {f"sup.{k}": v for k, v in sup_losses.items()}
+        out.update({f"unsup.{k}": v for k, v in unsup_losses.items()})
+        out["total"] = total
+        return out, cum
+
+
+def partial_mask_loss(mask_probs, mask_targets, ismask, pos_weight):
+    """Partial-supervision mask loss (reference RoIHead_Partial /
+    PartialDiceLoss): instances flagged ``ismask==0`` (box-only annotations,
+    NuCLS) contribute no mask loss."""
+    from nuhtc_tpu.models.losses import dice_loss
+
+    w = pos_weight * ismask.astype(jnp.float32)
+    return dice_loss(mask_probs, mask_targets, weight=w)

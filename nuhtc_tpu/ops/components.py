@@ -7,12 +7,19 @@ pipeline degenerates exactly to **connected components** of the opened,
 hole-filled semantic mask: the EDT of a binary mask is ≥1 on every foreground
 pixel, so ``distance > 0.25`` is the mask itself, the markers cover every
 component entirely, and the watershed flood is the identity. We therefore
-implement the proposal branch as a device-side 4-connected labeling:
+implement the proposal branch as a device-side 4-connected labeling.
 
-- min-label propagation with pointer-doubling acceleration (converges in
-  ~log(diameter) iterations);
-- labels compacted to raster-scan order (matching ``scipy.ndimage.label``);
-- per-component area + bbox via segment reductions.
+TPU design notes (measured on v5e):
+- random gathers over the full map cost ~10 ms each and
+  ``lax.associative_scan`` lowers poorly — so propagation is pure shift-based
+  min over 4-neighbors (contiguous slices, VPU-friendly), unrolled ``inner``
+  steps per while-loop round;
+- label compaction avoids gathers entirely: component roots (pixels whose
+  label equals their own linear index) are extracted with one ``top_k`` and
+  boxes/areas come from fused masked reductions against the root ids.
+- convergence is bounded (``max_iters * inner`` total shifts); nuclei-scale
+  blobs converge in <100 shifts. Pathological percolating shapes beyond the
+  bound get split labels (each split is still a consistent component subset).
 """
 
 from __future__ import annotations
@@ -23,20 +30,10 @@ import jax
 import jax.numpy as jnp
 
 
-def label_components(mask: jnp.ndarray, max_iters: int = 512) -> jnp.ndarray:
-    """4-connected component labels for a binary mask.
+def _propagate_min(lab: jnp.ndarray, mask: jnp.ndarray, big, inner: int) -> jnp.ndarray:
+    """``inner`` rounds of 4-neighbor min propagation (shift-based)."""
 
-    Returns (H, W) int32: 0 background, 1..n components numbered in raster
-    order of each component's first pixel (scipy.ndimage.label convention).
-    """
-    h, w = mask.shape
-    mask = mask.astype(bool)
-    n = h * w
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    big = jnp.int32(n)
-    lab = jnp.where(mask, idx, big)
-
-    def prop_min(l):
+    def one(l):
         up = jnp.pad(l[1:, :], ((0, 1), (0, 0)), constant_values=big)
         down = jnp.pad(l[:-1, :], ((1, 0), (0, 0)), constant_values=big)
         left = jnp.pad(l[:, 1:], ((0, 0), (0, 1)), constant_values=big)
@@ -44,11 +41,20 @@ def label_components(mask: jnp.ndarray, max_iters: int = 512) -> jnp.ndarray:
         neigh = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
         return jnp.where(mask, jnp.minimum(l, neigh), big)
 
-    def jump(l):
-        # pointer doubling: follow the label chain l[p] -> l[l[p]]
-        flat = l.reshape(-1)
-        flat_ext = jnp.concatenate([flat, jnp.array([big], jnp.int32)])
-        return jnp.where(mask, flat_ext[flat].reshape(h, w), big)
+    for _ in range(inner):
+        lab = one(lab)
+    return lab
+
+
+def label_components_raw(
+    mask: jnp.ndarray, max_iters: int = 24, inner: int = 16
+) -> jnp.ndarray:
+    """Labels = min linear index of each 4-connected component (bg = H*W)."""
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    big = jnp.int32(h * w)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lab0 = jnp.where(mask, idx, big)
 
     def cond(state):
         _, changed, it = state
@@ -56,50 +62,88 @@ def label_components(mask: jnp.ndarray, max_iters: int = 512) -> jnp.ndarray:
 
     def body(state):
         l, _, it = state
-        l2 = prop_min(l)
-        l2 = jump(jump(l2))
+        l2 = _propagate_min(l, mask, big, inner)
         return l2, jnp.any(l2 != l), it + 1
 
-    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.array(True), jnp.int32(0)))
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab0, jnp.array(True), jnp.int32(0)))
+    return lab
 
-    # compact to 1..n in raster order of root (== first-pixel) indices
+
+def label_components(mask: jnp.ndarray, max_iters: int = 64, inner: int = 16) -> jnp.ndarray:
+    """4-connected component labels, compacted to 1..n in raster order of the
+    first pixel (scipy.ndimage.label convention). Uses one full-size gather —
+    prefer ``label_components_raw`` + ``component_boxes_from_raw`` on the hot
+    path."""
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    n = h * w
+    lab = label_components_raw(mask, max_iters=max_iters, inner=inner)
     flat = lab.reshape(-1)
     is_root = (flat == jnp.arange(n, dtype=jnp.int32)) & mask.reshape(-1)
-    rank = jnp.cumsum(is_root.astype(jnp.int32))  # root p -> its 1-based id at position p
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
     rank_ext = jnp.concatenate([rank, jnp.array([0], jnp.int32)])
     out = jnp.where(mask.reshape(-1), rank_ext[flat], 0)
     return out.reshape(h, w)
 
 
 @partial(jax.jit, static_argnames=("max_components",))
+def component_boxes_from_raw(
+    lab: jnp.ndarray,  # raw labels (min linear index per component)
+    mask: jnp.ndarray,
+    max_components: int = 512,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Boxes/areas for the first ``max_components`` components in raster
+    order, without gathers: top-k root extraction + masked reductions.
+
+    Returns (boxes (K, 4) [x1, y1, x2+1, y2+1] float32, areas (K,) int32,
+    valid (K,))."""
+    h, w = lab.shape
+    n = h * w
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    is_root = (lab == idx) & mask.astype(bool)
+    # top_k over -(index) of roots → first K roots in raster order
+    scores = jnp.where(is_root, -idx, -jnp.int32(n)).reshape(-1)
+    top, _ = jax.lax.top_k(scores, max_components)
+    roots = -top  # ascending linear indices; padding slots = n
+    valid = roots < n
+
+    eq = lab[None, :, :] == roots[:, None, None]  # (K, H, W), fused below
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    inf = jnp.float32(1e9)
+    x_min = jnp.min(jnp.where(eq, xs, inf), axis=(1, 2))
+    x_max = jnp.max(jnp.where(eq, xs, -inf), axis=(1, 2))
+    y_min = jnp.min(jnp.where(eq, ys, inf), axis=(1, 2))
+    y_max = jnp.max(jnp.where(eq, ys, -inf), axis=(1, 2))
+    areas = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
+
+    boxes = jnp.stack([x_min, y_min, x_max + 1.0, y_max + 1.0], axis=-1)
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+    areas = jnp.where(valid, areas, 0)
+    return boxes.astype(jnp.float32), areas, valid
+
+
+@partial(jax.jit, static_argnames=("max_components",))
 def component_boxes(
     labels: jnp.ndarray, max_components: int = 512
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-component bbox + area from a compact label map.
-
-    Returns (boxes (K, 4) float32 [x1, y1, x2+1, y2+1], areas (K,) int32,
-    valid (K,) bool) for components 1..K (component i at row i-1). Components
-    beyond ``max_components`` are dropped.
-    """
+    """Per-component bbox + area from a compact label map (components 1..K)."""
     h, w = labels.shape
-    flat = labels.reshape(-1)
-    ys = (jnp.arange(h * w, dtype=jnp.int32) // w).astype(jnp.float32)
-    xs = (jnp.arange(h * w, dtype=jnp.int32) % w).astype(jnp.float32)
-    k = max_components + 1  # slot 0 = background
-
-    seg = jnp.clip(flat, 0, max_components)
-    ones = jnp.where(flat > 0, 1, 0)
-    areas = jax.ops.segment_sum(ones, seg, num_segments=k)
-    x_min = jax.ops.segment_min(jnp.where(flat > 0, xs, jnp.inf), seg, num_segments=k)
-    x_max = jax.ops.segment_max(jnp.where(flat > 0, xs, -jnp.inf), seg, num_segments=k)
-    y_min = jax.ops.segment_min(jnp.where(flat > 0, ys, jnp.inf), seg, num_segments=k)
-    y_max = jax.ops.segment_max(jnp.where(flat > 0, ys, -jnp.inf), seg, num_segments=k)
-
-    boxes = jnp.stack([x_min, y_min, x_max + 1.0, y_max + 1.0], axis=-1)[1:]
-    areas = areas[1:]
+    k = max_components
+    ids = jnp.arange(1, k + 1, dtype=labels.dtype)
+    eq = labels[None, :, :] == ids[:, None, None]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    inf = jnp.float32(1e9)
+    x_min = jnp.min(jnp.where(eq, xs, inf), axis=(1, 2))
+    x_max = jnp.max(jnp.where(eq, xs, -inf), axis=(1, 2))
+    y_min = jnp.min(jnp.where(eq, ys, inf), axis=(1, 2))
+    y_max = jnp.max(jnp.where(eq, ys, -inf), axis=(1, 2))
+    areas = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
     valid = areas > 0
+    boxes = jnp.stack([x_min, y_min, x_max + 1.0, y_max + 1.0], axis=-1)
     boxes = jnp.where(valid[:, None], boxes, 0.0)
-    return boxes.astype(jnp.float32), areas.astype(jnp.int32), valid
+    return boxes.astype(jnp.float32), areas, valid
 
 
 def component_proposals(
@@ -125,8 +169,8 @@ def component_proposals(
     mask = blurred > thres
     mask = morphology.binary_open(mask, ksize=5, iterations=2) > 0.5
     mask = morphology.fill_holes(mask)
-    labels = label_components(mask)
-    boxes, areas, valid = component_boxes(labels, max_components)
+    lab = label_components_raw(mask)
+    boxes, areas, valid = component_boxes_from_raw(lab, mask, max_components)
     max_area = h * w / 4
     valid = valid & (areas > min_area) & (areas < max_area)
     boxes5 = jnp.concatenate([boxes, jnp.ones((boxes.shape[0], 1), boxes.dtype)], axis=-1)

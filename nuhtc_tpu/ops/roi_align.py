@@ -73,7 +73,7 @@ def _interp_matrix(
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "max_grid", "chunk"),
+    static_argnames=("output_size", "sampling_ratio", "max_grid", "chunk", "exact"),
 )
 def roi_align(
     feat: jnp.ndarray,  # (H, W, C) single image, NHWC layout sans batch
@@ -82,7 +82,8 @@ def roi_align(
     output_size: int,
     sampling_ratio: int = 0,
     max_grid: int = 8,
-    chunk: int = 256,
+    chunk: int = 64,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """RoIAlign for one image. Returns (R, out, out, C).
 
@@ -112,15 +113,33 @@ def roi_align(
         grid_w = jnp.clip(jnp.ceil(roi_w / output_size), 1, max_grid).astype(jnp.int32)
         mg = max_grid
 
+    # The interpolation matrices are cheap — build them exactly (f32).
     sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
     sx = _interp_matrix(start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32)
 
-    featf = feat.astype(jnp.float32)
+    # The feature contractions are the hot path: bf16 on the MXU with f32
+    # accumulation by default; ``exact=True`` keeps everything f32 (for
+    # parity tests). bf16 input rounding costs ~0.4% relative — the reference
+    # itself returns RoI features in fp16 (roi_extractors_cus.py force_fp32
+    # out_fp16=True).
+    if exact:
+        cdtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
+    else:
+        cdtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    featc = feat.astype(cdtype)
+
+    t1_type = jnp.float32 if exact else jnp.bfloat16  # halve t1 HBM traffic
 
     def one_chunk(args):
         sy_c, sx_c = args  # (chunk, out, H), (chunk, out, W)
-        t1 = jnp.einsum("rih,hwc->riwc", sy_c, featf, precision=jax.lax.Precision.HIGHEST)  # (chunk, out, W, C)
-        t2 = jnp.einsum("rjw,riwc->rijc", sx_c, t1, precision=jax.lax.Precision.HIGHEST)  # (chunk, out, out, C)
+        t1 = jnp.einsum(
+            "rih,hwc->riwc", sy_c.astype(cdtype), featc,
+            precision=prec, preferred_element_type=t1_type,
+        )
+        t2 = jnp.einsum(
+            "rjw,riwc->rijc", sx_c.astype(cdtype), t1.astype(cdtype),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
         return t2
 
     if r <= chunk:

@@ -1,0 +1,183 @@
+"""Epoch-based training loop (the mmcv EpochBasedRunner equivalent).
+
+Covers the reference train path machinery (nuhtc/apis/train.py:45-208 +
+hooks): data-parallel mesh, threaded host data loading, periodic text/json
+logging (mmcv TextLoggerHook analog), orbax checkpointing with max_keep
+(CheckpointHook), EMA weights, auto-resume, and a periodic eval hook that
+runs dataset.evaluate on the test split.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from nuhtc_tpu.utils.logging import get_root_logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        cfg,
+        work_dir: str,
+        max_epochs: int = 200,
+        iters_per_epoch: int = 1000,
+        log_interval: int = 50,
+        checkpoint_interval: int = 10,
+        eval_interval: int = 10,
+        max_keep_ckpts: int = 40,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.max_epochs = max_epochs
+        self.iters_per_epoch = iters_per_epoch
+        self.log_interval = log_interval
+        self.checkpoint_interval = checkpoint_interval
+        self.eval_interval = eval_interval
+        self.max_keep_ckpts = max_keep_ckpts
+        self.seed = seed
+        os.makedirs(work_dir, exist_ok=True)
+        self.logger = get_root_logger(os.path.join(work_dir, "train.log"))
+        self.json_log = open(os.path.join(work_dir, "log.json"), "a")
+
+    def run(self, loader, test_dataset=None, resume_from: Optional[str] = None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nuhtc_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+        from nuhtc_tpu.train.train_state import (
+            TrainState,
+            create_train_state,
+            lr_schedule,
+            make_train_step,
+        )
+        from nuhtc_tpu.utils import checkpoint as ckpt
+
+        model = self.model
+        mesh = make_mesh()
+        n_dev = len(mesh.devices.ravel())
+        self.logger.info(f"devices: {n_dev} ({jax.default_backend()})")
+
+        # init params
+        batch0 = next(iter(loader))
+        img0 = jnp.zeros((1,) + batch0["img"].shape[1:], jnp.float32)
+        params = model.init(jax.random.PRNGKey(self.seed), img0, method="init_forward")
+        n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+        self.logger.info(f"params: {n_params / 1e6:.2f}M")  # WeightSummary analog
+
+        schedule = lr_schedule(
+            base_lr=self.cfg.get("optimizer", {}).get("lr", 1e-4),
+            warmup_iters=self.cfg.get("lr_config", {}).get("warmup_iters", 1000),
+            step_epochs=tuple(self.cfg.get("lr_config", {}).get("step", [30, 160])),
+            iters_per_epoch=self.iters_per_epoch,
+        )
+        state, tx = create_train_state(
+            model, params, num_stages=model.num_stages, num_classes=model.num_classes,
+            schedule=schedule,
+        )
+        train_step = make_train_step(
+            model, tx,
+            ema_momentum=self.cfg.get("ema", {}).get("momentum", 2e-4),
+            finetune_iter=self.cfg.get("finetune_iter", 15000),
+        )
+
+        ckpt_dir = os.path.join(os.path.abspath(self.work_dir), "checkpoints")
+        start_epoch = 0
+        if resume_from or (os.path.isdir(ckpt_dir) and ckpt.latest_step(ckpt_dir) is not None):
+            step = ckpt.latest_step(resume_from or ckpt_dir)
+            if step is not None:
+                state = ckpt.load_checkpoint(resume_from or ckpt_dir, state, step)
+                start_epoch = int(step)
+                self.logger.info(f"auto-resumed from epoch {start_epoch}")
+
+        state = replicate(state, mesh)
+        rng = replicate(jax.random.PRNGKey(self.seed + 1), mesh)
+        jit_step = jax.jit(
+            train_step,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P("data")),
+                NamedSharding(mesh, P()),
+            ),
+            out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+            donate_argnums=(0,),
+        )
+
+        it = iter(loader)
+        t_start = time.time()
+        for epoch in range(start_epoch, self.max_epochs):
+            for i in range(self.iters_per_epoch):
+                batch = shard_batch(next(it), mesh)
+                state, metrics = jit_step(state, batch, rng)
+                gstep = epoch * self.iters_per_epoch + i
+                if (i + 1) % self.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    lr = float(schedule(gstep))
+                    msg = (
+                        f"Epoch [{epoch + 1}][{i + 1}/{self.iters_per_epoch}] "
+                        f"lr: {lr:.2e} total: {m['total']:.4f} "
+                        + " ".join(f"{k}: {v:.4f}" for k, v in m.items() if k != "total")
+                    )
+                    self.logger.info(msg)
+                    self.json_log.write(
+                        json.dumps({"epoch": epoch + 1, "iter": i + 1, "lr": lr, **m}) + "\n"
+                    )
+                    self.json_log.flush()
+            if (epoch + 1) % self.checkpoint_interval == 0 or epoch + 1 == self.max_epochs:
+                host_state = jax.device_get(state)
+                ckpt.save_checkpoint(ckpt_dir, host_state, step=epoch + 1, keep=self.max_keep_ckpts)
+                self.logger.info(f"saved checkpoint @ epoch {epoch + 1}")
+            if test_dataset is not None and (epoch + 1) % self.eval_interval == 0:
+                try:
+                    self._evaluate(test_dataset, jax.device_get(state.ema_params))
+                except Exception as e:  # eval must not kill training
+                    self.logger.warning(f"eval failed: {e}")
+        self.logger.info(f"training done in {(time.time() - t_start) / 3600:.2f}h")
+        return state
+
+    def _evaluate(self, dataset, params, limit: int = 256):
+        from nuhtc_tpu.apis.inference import InferenceEngine
+        from nuhtc_tpu.eval.evaluate import evaluate_dataset
+        from nuhtc_tpu.ops import rle as rle_ops
+
+        engine = InferenceEngine(self.model, params, batch_size=8)
+        n = min(len(dataset), limit)
+        results = []
+        for s in range(0, n, engine.batch_size):
+            imgs = [dataset.load_image(i) for i in range(s, min(s + engine.batch_size, n))]
+            for res in engine.run_batch(imgs):
+                bboxes, segms = [], []
+                for c in range(engine.num_classes):
+                    sel = res["labels"] == c
+                    bboxes.append(
+                        np.concatenate([res["boxes"][sel], res["scores"][sel][:, None]], 1)
+                    )
+                    segms.append([rle_ops.encode(m) for m in res["masks"][sel]])
+                results.append((bboxes, segms))
+
+        class _Sliced:
+            def __init__(s2, ds, k):
+                s2._ds, s2._k = ds, k
+
+            def __len__(s2):
+                return s2._k
+
+            def __getattr__(s2, a):
+                return getattr(s2._ds, a)
+
+        metrics = evaluate_dataset(_Sliced(dataset, n), results)
+        self.logger.info(
+            "eval: " + " ".join(
+                f"{k}: {v:.4f}" for k, v in metrics.items() if isinstance(v, float)
+            )
+        )
+        return metrics

@@ -72,7 +72,7 @@ def test_roi_align_fixed_ratio(rng):
         ],
         np.float32,
     )
-    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, sampling_ratio=2))
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, sampling_ratio=2, exact=True))
     want = roi_align_ref(feat.transpose(2, 0, 1), rois, 1.0, 7, 2).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
@@ -88,7 +88,7 @@ def test_roi_align_adaptive_ratio(rng):
         np.float32,
     )
     got = np.asarray(
-        roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, sampling_ratio=0, max_grid=8)
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, sampling_ratio=0, max_grid=8, exact=True)
     )
     want = roi_align_ref(feat.transpose(2, 0, 1), rois, 0.25, 7, 0).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
@@ -97,7 +97,7 @@ def test_roi_align_adaptive_ratio(rng):
 def test_roi_align_spatial_scale_stride8(rng):
     feat = rng.randn(8, 8, 4).astype(np.float32)
     rois = np.array([[5.0, 9.0, 40.0, 33.0]], np.float32)
-    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1 / 8, 7, sampling_ratio=2))
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1 / 8, 7, sampling_ratio=2, exact=True))
     want = roi_align_ref(feat.transpose(2, 0, 1), rois, 1 / 8, 7, 2).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
@@ -108,8 +108,8 @@ def test_roi_align_chunked_equals_unchunked(rng):
     xy = rng.uniform(0, 40, (n, 2)).astype(np.float32)
     wh = rng.uniform(4, 20, (n, 2)).astype(np.float32)
     rois = np.concatenate([xy, xy + wh], 1)
-    a = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, 2, chunk=32))
-    b = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, 2, chunk=256))
+    a = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, 2, chunk=32, exact=True))
+    b = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, 2, chunk=256, exact=True))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
@@ -136,3 +136,12 @@ def test_attention_pool_matches_torch_formula(rng):
     sim = sim.view(-1, 1, h, w)  # (R, 1, H, W)
     want = torch.mean(tf[0].unsqueeze(0) * sim, dim=(2, 3)).numpy()  # (R, C)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_bf16_fast_mode_close(rng):
+    feat = rng.randn(16, 16, 8).astype(np.float32)
+    rois = np.array([[4.0, 4.0, 40.0, 40.0], [8.0, 12.0, 30.0, 50.0]], np.float32)
+    ex = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, 2, exact=True))
+    fast = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, 2, exact=False))
+    # bf16 inputs: ~0.4%% relative error bound
+    np.testing.assert_allclose(fast, ex, rtol=0.05, atol=0.02)

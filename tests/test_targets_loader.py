@@ -1,0 +1,152 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nuhtc_tpu.train import targets as T
+
+
+def test_max_iou_assign_basic():
+    boxes = jnp.asarray(
+        [
+            [0, 0, 10, 10],  # iou 0.9ish with gt0
+            [0, 0, 9, 10],
+            [50, 50, 60, 60],  # no overlap
+            [20, 20, 32, 32],  # medium overlap with gt1
+        ],
+        jnp.float32,
+    )
+    gt = jnp.asarray([[0, 0, 10, 9], [22, 22, 34, 34]], jnp.float32)
+    gt_valid = jnp.asarray([True, True])
+    gt_labels = jnp.asarray([3, 1], jnp.int32)
+    res = T.max_iou_assign(
+        boxes, jnp.ones(4, bool), gt, gt_valid, gt_labels,
+        pos_thr=0.7, neg_thr=0.3, min_pos_iou=0.3,
+    )
+    gi = np.asarray(res.gt_inds)
+    assert gi[0] == 1  # pos for gt0
+    assert gi[2] == 0  # negative (iou 0)
+    assert gi[3] == 2  # low-quality match kept: best for gt1 with iou >= 0.3
+    labs = np.asarray(res.labels)
+    assert labs[0] == 3 and labs[3] == 1
+
+
+def test_max_iou_assign_invalid_gt_ignored():
+    boxes = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    res = T.max_iou_assign(
+        boxes, jnp.ones(1, bool), gt, jnp.asarray([False, True]),
+        jnp.asarray([0, 4], jnp.int32), 0.5, 0.5,
+    )
+    assert int(res.gt_inds[0]) == 2  # assigned to the valid gt (index 1 → 2)
+    assert int(res.labels[0]) == 4
+
+
+def test_random_sample_counts():
+    n = 2000
+    rng = np.random.RandomState(0)
+    gt_inds = np.zeros(n, np.int32)
+    gt_inds[:700] = 1  # 700 positives
+    assign = T.AssignResult(jnp.asarray(gt_inds), jnp.zeros(n), jnp.zeros(n, jnp.int32))
+    samp = T.random_sample(jax.random.PRNGKey(0), assign, num=1024, pos_fraction=0.25, num_classes=5)
+    is_pos = np.asarray(samp.is_pos)
+    valid = np.asarray(samp.valid)
+    assert is_pos.sum() == 256  # capped at num * pos_fraction
+    assert valid.sum() == 1024
+    # positives come first (priority ordering)
+    assert is_pos[:256].all() and not is_pos[256:].any()
+    labels = np.asarray(samp.labels)
+    assert (labels[~is_pos & valid] == 5).all()
+
+
+def test_random_sample_few_positives():
+    n = 100
+    gt_inds = np.zeros(n, np.int32)
+    gt_inds[:5] = 2
+    assign = T.AssignResult(jnp.asarray(gt_inds), jnp.zeros(n), jnp.full(n, 1, jnp.int32))
+    samp = T.random_sample(jax.random.PRNGKey(1), assign, num=64, pos_fraction=0.5, num_classes=5)
+    assert int(np.asarray(samp.is_pos).sum()) == 5
+    assert int(np.asarray(samp.valid).sum()) == 64  # rest filled with negatives
+
+
+def test_mask_targets_from_patches():
+    # gt 0: left half of its box filled
+    patch = np.zeros((2, 16, 16), np.float32)
+    patch[0, :, :8] = 1.0
+    patch[1, :8, :] = 1.0
+    gt_boxes = jnp.asarray([[10, 10, 26, 26], [40, 40, 56, 56]], jnp.float32)
+    proposals = jnp.asarray(
+        [
+            [10, 10, 26, 26],  # exactly gt0 box
+            [40, 40, 48, 56],  # left half of gt1 box
+        ],
+        jnp.float32,
+    )
+    out = T.mask_targets_from_patches(
+        proposals, jnp.asarray([0, 1]), gt_boxes, jnp.asarray(patch), mask_size=8
+    )
+    out = np.asarray(out)
+    # proposal 0 == gt box: left half of 8x8 target filled
+    assert out[0][:, :4].mean() > 0.9 and out[0][:, 5:].mean() < 0.1
+    # proposal 1 covers x left half of gt1 box; gt1 pattern fills top half in y
+    assert out[1][:4, :].mean() > 0.9 and out[1][5:, :].mean() < 0.1
+
+
+def test_collate_and_pipeline(tmp_path):
+    import cv2
+
+    from nuhtc_tpu.data.loader import collate_train, prepare_train_sample
+    from nuhtc_tpu.data.pipelines import build_train_pipeline
+
+    # synthetic dataset stub
+    class DS:
+        def load_image(self, idx):
+            return (np.random.RandomState(idx).rand(64, 64, 3) * 255).astype(np.float32)
+
+        def get_ann_info(self, idx):
+            from nuhtc_tpu.ops import rle as R
+
+            m = np.zeros((64, 64), np.uint8)
+            cv2.circle(m, (30, 30), 8, 1, -1)
+            return dict(
+                bboxes=np.asarray([[22, 22, 39, 39]], np.float32),
+                labels=np.asarray([2]),
+                masks=[R.encode(m)],
+                ismask=np.asarray([1]),
+                height=64,
+                width=64,
+            )
+
+        def load_semantic(self, idx):
+            return None
+
+    pipeline = build_train_pipeline(
+        [
+            dict(type="PhotoMetricDistortion"),
+            dict(type="Resize", img_scale=(128, 128), keep_ratio=True),
+            dict(type="RandomFlip", flip_ratio=0.5),
+            dict(
+                type="Sequential",
+                transforms=[
+                    dict(type="OneOf", transforms=[
+                        dict(type="RandTranslate", x=(-0.1, 0.1)),
+                        dict(type="RandRotate", angle=(-10, 10)),
+                    ]),
+                    dict(type="RecomputeBox"),
+                ],
+            ),
+            dict(type="Normalize"),
+            dict(type="Pad", size_divisor=32),
+            dict(type="SegRescale", scale_factor=0.25),
+        ]
+    )
+    ds = DS()
+    rng = np.random.RandomState(0)
+    samples = [prepare_train_sample(ds, i, pipeline, rng) for i in range(2)]
+    batch = collate_train(samples, max_gt=8)
+    assert batch["img"].shape == (2, 128, 128, 3)
+    assert batch["gt_boxes"].shape == (2, 8, 4)
+    assert batch["gt_patches"].shape == (2, 8, 64, 64)
+    assert batch["gt_semantic"].shape == (2, 32, 32)
+    assert batch["gt_valid"][:, 0].all()
+    # semantic derived from instance masks: some fg
+    assert batch["gt_semantic"].sum() > 0

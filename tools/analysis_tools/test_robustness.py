@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Corruption-robustness benchmark (reference tools/analysis_tools/
+test_robustness.py): evaluates PQ under image corruptions at increasing
+severity. The ``imagecorruptions`` package is absent here — we use the
+equivalent cv2/numpy corruptions from the RandCorrupt pipeline op.
+
+Usage: python tools/analysis_tools/test_robustness.py <config> [ckpt] \\
+           --corruptions gaussian_noise gaussian_blur jpeg pixelate --limit 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+CORRUPTIONS = ("gaussian_noise", "gaussian_blur", "jpeg", "pixelate")
+
+
+def corrupt(img: np.ndarray, kind: str, severity: int) -> np.ndarray:
+    import cv2
+
+    img = img.astype(np.uint8)
+    if kind == "gaussian_noise":
+        return np.clip(
+            img.astype(np.float32) + np.random.RandomState(0).randn(*img.shape) * (4 + 4 * severity),
+            0, 255,
+        ).astype(np.uint8)
+    if kind == "gaussian_blur":
+        return cv2.GaussianBlur(img, (0, 0), 0.5 * severity)
+    if kind == "jpeg":
+        q = max(10, 60 - 12 * severity)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
+        return cv2.imdecode(enc, cv2.IMREAD_COLOR)
+    if kind == "pixelate":
+        h, w = img.shape[:2]
+        f = 1.0 - 0.15 * severity
+        small = cv2.resize(img, (max(1, int(w * f)), max(1, int(h * f))))
+        return cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+    raise ValueError(kind)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", nargs="?", default=None)
+    ap.add_argument("--corruptions", nargs="+", default=list(CORRUPTIONS))
+    ap.add_argument("--severities", nargs="+", type=int, default=[1, 3, 5])
+    ap.add_argument("--limit", type=int, default=64)
+    args = ap.parse_args()
+
+    from nuhtc_tpu.apis import init_detector
+    from nuhtc_tpu.config import Config
+    from nuhtc_tpu.data import build_dataset
+    from nuhtc_tpu.eval.evaluate import evaluate_dataset
+    from nuhtc_tpu.ops import rle as rle_ops
+
+    cfg = Config.fromfile(args.config)
+    dataset = build_dataset({**cfg.data.test, "test_mode": True})
+    engine = init_detector(cfg, args.checkpoint)
+    n = min(args.limit, len(dataset))
+
+    class _Sliced:
+        def __init__(self, ds, k):
+            self._ds, self._k = ds, k
+
+        def __len__(self):
+            return self._k
+
+        def __getattr__(self, a):
+            return getattr(self._ds, a)
+
+    def run_eval(transform):
+        results = []
+        for s in range(0, n, engine.batch_size):
+            imgs = [transform(dataset.load_image(i)) for i in range(s, min(s + engine.batch_size, n))]
+            for res in engine.run_batch(imgs):
+                bb, sg = [], []
+                for c in range(engine.num_classes):
+                    sel = res["labels"] == c
+                    bb.append(np.concatenate([res["boxes"][sel], res["scores"][sel][:, None]], 1))
+                    sg.append([rle_ops.encode(m) for m in res["masks"][sel]])
+                results.append((bb, sg))
+        return evaluate_dataset(_Sliced(dataset, n), results)
+
+    base = run_eval(lambda x: x)
+    print(f"clean: pq={base['pq']:.4f}")
+    for kind in args.corruptions:
+        for sev in args.severities:
+            m = run_eval(lambda x, k=kind, s=sev: corrupt(x, k, s))
+            print(f"{kind} s{sev}: pq={m['pq']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

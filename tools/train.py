@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Train NuHTC-TPU (reference tools/train.py).
+
+Usage: python tools/train.py configs/nuhtc/htc_lite_swin_fpn_pannuke.py \\
+           [--work-dir DIR] [--resume-from CKPT] [--cfg-options k=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--iters-per-epoch", type=int, default=None)
+    ap.add_argument("--cfg-options", nargs="+", default=None)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from nuhtc_tpu.config import Config
+    from nuhtc_tpu.data import build_dataset
+    from nuhtc_tpu.data.loader import PrefetchLoader
+    from nuhtc_tpu.data.pipelines import build_train_pipeline
+    from nuhtc_tpu.models.build import build_detector
+    from nuhtc_tpu.train.trainer import Trainer
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+
+    work_dir = args.work_dir or cfg.get("work_dir") or (
+        "./work_dirs/" + os.path.splitext(os.path.basename(args.config))[0]
+    )
+
+    train_ds = build_dataset(cfg.data.train)
+    test_ds = None
+    if "test" in cfg.data:
+        try:
+            test_ds = build_dataset({**cfg.data.test, "test_mode": True})
+        except FileNotFoundError:
+            pass
+    pipeline = build_train_pipeline(cfg.get("train_pipeline", []))
+    loader = PrefetchLoader(
+        train_ds,
+        pipeline,
+        batch_size=cfg.get("samples_per_gpu", 8),
+        seed=args.seed,
+    )
+
+    import jax
+
+    dtype = jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+    model = build_detector(cfg.model, cfg.model.get("test_cfg"),
+                           float(cfg.get("scale_factor", 2.0)), dtype=dtype)
+
+    n_train = len(train_ds)
+    iters_per_epoch = args.iters_per_epoch or max(
+        n_train // cfg.get("samples_per_gpu", 8), 1
+    )
+    trainer = Trainer(
+        model,
+        cfg,
+        work_dir,
+        max_epochs=args.max_epochs or cfg.get("max_epochs", 200),
+        iters_per_epoch=iters_per_epoch,
+        checkpoint_interval=cfg.get("checkpoint_interval", 10),
+        eval_interval=cfg.get("evaluation", {}).get("interval", 10),
+        seed=args.seed,
+    )
+    trainer.run(loader, test_ds, resume_from=args.resume_from)
+
+
+if __name__ == "__main__":
+    main()
