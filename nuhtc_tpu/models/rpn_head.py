@@ -94,6 +94,17 @@ def rpn_proposals_single(
         h = boxes[:, 3] - boxes[:, 1]
         valid = valid & (w > min_bbox_size) & (h > min_bbox_size)
 
+    # cap NMS candidates: suppression flows only from higher scores, so
+    # dropping ranks beyond 4*max_per_img cannot change the kept set in
+    # practice (would need >3k suppressions inside the top 4k at IoU .7)
+    cap = min(4 * max_per_img + 96, boxes.shape[0])
+    if boxes.shape[0] > cap:
+        top_scores, top_idx = jax.lax.top_k(jnp.where(valid, scores, -1.0), cap)
+        boxes = boxes[top_idx]
+        scores = scores[top_idx]
+        ids = ids[top_idx]
+        valid = valid[top_idx] & (top_scores > -0.5)
+
     coord_bound = float(max(img_shape[0], img_shape[1]))
     out_boxes, out_scores, _, out_valid = nms_ops.batched_nms(
         boxes, scores, ids, valid, nms_iou, max_per_img, coord_bound=coord_bound

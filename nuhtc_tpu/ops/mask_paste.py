@@ -23,17 +23,9 @@ def _paste_matrix(b0: jnp.ndarray, b1: jnp.ndarray, out_size: int, mask_size: in
     p = jnp.arange(out_size, dtype=jnp.float32) + 0.5  # pixel centers
     extent = jnp.maximum(b1 - b0, 1e-6)
     m = (p[None, :] - b0[:, None]) / extent[:, None] * mask_size - 0.5  # (N, out)
-    low = jnp.floor(m)
-    frac = m - low
-    low_i = low.astype(jnp.int32)
-    high_i = low_i + 1
-
-    def onehot_inrange(ix):
-        inr = (ix >= 0) & (ix < mask_size)
-        oh = jax.nn.one_hot(jnp.clip(ix, 0, mask_size - 1), mask_size, dtype=jnp.float32)
-        return oh * inr[..., None]
-
-    return onehot_inrange(low_i) * (1.0 - frac)[..., None] + onehot_inrange(high_i) * frac[..., None]
+    # zero-padding bilinear ≡ hat weights over valid mask indices (fused)
+    k = jnp.arange(mask_size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(k[None, None, :] - m[..., None]))
 
 
 @partial(jax.jit, static_argnames=("out_shape", "threshold", "chunk"))

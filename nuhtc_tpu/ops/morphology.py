@@ -29,46 +29,35 @@ def gaussian_kernel1d(kernel_size: int = 5, sigma: float | None = None) -> np.nd
 
 
 def gaussian_blur5(img: jnp.ndarray, kernel_size: int = 5, sigma: float | None = None) -> jnp.ndarray:
-    """Separable gaussian blur with reflect padding. img: (..., H, W)."""
-    k = jnp.asarray(gaussian_kernel1d(kernel_size, sigma), dtype=img.dtype)
+    """Separable gaussian blur with reflect padding. img: (..., H, W).
+
+    Implemented as weighted shifted slices on the VPU — single-channel convs
+    waste the MXU (1/128 lane utilization, measured 10 ms vs ~2 ms here).
+    """
+    kv = gaussian_kernel1d(kernel_size, sigma)
     pad = kernel_size // 2
     orig_shape = img.shape
     h, w = orig_shape[-2:]
-    x = img.reshape((-1, h, w))
+    x = img.reshape((-1, h, w)).astype(jnp.float32)
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
     # rows
-    x = jax.vmap(
-        lambda im: jax.lax.conv_general_dilated(
-            im[None, None, :, :],
-            k[None, None, :, None],
-            (1, 1),
-            "VALID",
-            precision=jax.lax.Precision.HIGHEST,
-        )[0, 0]
-    )(x)
+    x = sum(float(kv[i]) * x[:, i : i + h, :] for i in range(kernel_size))
     # cols
-    x = jax.vmap(
-        lambda im: jax.lax.conv_general_dilated(
-            im[None, None, :, :],
-            k[None, None, None, :],
-            (1, 1),
-            "VALID",
-            precision=jax.lax.Precision.HIGHEST,
-        )[0, 0]
-    )(x)
-    return x.reshape(orig_shape)
+    x = sum(float(kv[i]) * x[:, :, i : i + w] for i in range(kernel_size))
+    return x.reshape(orig_shape).astype(img.dtype)
 
 
 def _conv_ones(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    """Sum over a ksize×ksize window with zero padding. x: (..., H, W)."""
+    """Sum over a ksize×ksize window with zero padding — separable shifted
+    adds (VPU), exact for the small integer counts involved."""
     shape = x.shape
     h, w = shape[-2:]
-    xf = x.reshape((-1, 1, h, w)).astype(jnp.float32)
-    kernel = jnp.ones((1, 1, ksize, ksize), dtype=jnp.float32)
-    out = jax.lax.conv_general_dilated(
-        xf, kernel, (1, 1), "SAME", precision=jax.lax.Precision.HIGHEST
-    )
-    return out.reshape(shape)
+    pad = ksize // 2
+    xf = x.reshape((-1, h, w)).astype(jnp.float32)
+    xf = jnp.pad(xf, ((0, 0), (pad, pad), (pad, pad)))
+    xf = sum(xf[:, i : i + h, :] for i in range(ksize))
+    xf = sum(xf[:, :, i : i + w] for i in range(ksize))
+    return xf.reshape(shape)
 
 
 def binary_erosion(mask: jnp.ndarray, ksize: int = 5, iterations: int = 1) -> jnp.ndarray:

@@ -51,24 +51,19 @@ def _interp_matrix(
 
     sample_w = (s[None, None, :] < gridf) / gridf  # (R, out, max_grid)
 
+    # bilinear weights as a hat function: after CUDA-style clamping, the
+    # weight of feature index h for sample y is max(0, 1 - |h - y|). This
+    # fuses into the sum over samples — no one_hot materialization, no dot.
     out_of_range = (y < -1.0) | (y > size)
     yc = jnp.clip(y, 0.0, size - 1)
-    y_low = jnp.floor(yc)
-    at_border = y_low >= size - 1
-    y_low = jnp.minimum(y_low, size - 1).astype(jnp.int32)
-    ly = jnp.where(at_border, 0.0, yc - y_low)
-    y_high = jnp.minimum(y_low + 1, size - 1)
-
+    at_border = jnp.floor(yc) >= size - 1
+    yc = jnp.where(at_border, size - 1.0, yc)  # border: ly = 0
     w = jnp.where(out_of_range, 0.0, sample_w)
-    onehot_low = jax.nn.one_hot(y_low, size, dtype=dtype)  # (R, out, max_grid, size)
-    onehot_high = jax.nn.one_hot(y_high, size, dtype=dtype)
-    mat = jnp.einsum(
-        "rosk,ros->rok",
-        onehot_low * (1.0 - ly)[..., None] + onehot_high * ly[..., None],
-        w.astype(dtype),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return mat  # (R, out, size)
+
+    h_idx = jnp.arange(size, dtype=yc.dtype)  # (size,)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(h_idx[None, None, None, :] - yc[..., None]))
+    mat = jnp.sum(hat * w[..., None], axis=2, dtype=jnp.float32)
+    return mat.astype(dtype)  # (R, out, size)
 
 
 @partial(
