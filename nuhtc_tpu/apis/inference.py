@@ -149,3 +149,62 @@ def init_detector(
             else:
                 params = state
     return InferenceEngine(model, params, batch_size=batch_size, scale_factor=scale_factor)
+
+
+class TTAEngine:
+    """Flip test-time augmentation (the reference aug_test analog,
+    HybridTaskCascade_Cus.aug_test — here detections from each flipped view
+    are mapped back to the original frame and merged with mask-NMS)."""
+
+    def __init__(self, engine: InferenceEngine, flips=("none", "horizontal", "vertical")):
+        self.engine = engine
+        self.flips = flips
+
+    @staticmethod
+    def _flip_img(img, d):
+        if d == "horizontal":
+            return np.ascontiguousarray(img[:, ::-1])
+        if d == "vertical":
+            return np.ascontiguousarray(img[::-1])
+        return img
+
+    def _unflip(self, res, d, h, w):
+        if d == "none":
+            return res
+        boxes = res["boxes"].copy()
+        masks = res.get("masks")
+        if d == "horizontal":
+            boxes[:, [0, 2]] = w - res["boxes"][:, [2, 0]]
+            if masks is not None:
+                masks = masks[:, :, ::-1]
+        else:
+            boxes[:, [1, 3]] = h - res["boxes"][:, [3, 1]]
+            if masks is not None:
+                masks = masks[:, ::-1, :]
+        out = dict(res)
+        out["boxes"] = boxes
+        if masks is not None:
+            out["masks"] = np.ascontiguousarray(masks)
+        return out
+
+    def run_batch(self, imgs) -> List[Dict[str, np.ndarray]]:
+        from nuhtc_tpu.eval.evaluate import mask_nms
+        from nuhtc_tpu.ops import rle as rle_ops
+
+        per_flip = []
+        for d in self.flips:
+            flipped = [self._flip_img(im, d) for im in imgs]
+            per_flip.append(
+                [self._unflip(r, d, im.shape[0], im.shape[1])
+                 for r, im in zip(self.engine.run_batch(flipped), imgs)]
+            )
+        merged = []
+        for i in range(len(imgs)):
+            keys = ("boxes", "scores", "labels", "probs", "masks")
+            cat = {k: np.concatenate([pf[i][k] for pf in per_flip]) for k in keys}
+            if len(cat["scores"]):
+                rles = [rle_ops.encode(m) for m in cat["masks"]]
+                _, keep = mask_nms(rles, cat["scores"], thr=0.5)
+                cat = {k: v[keep] for k, v in cat.items()}
+            merged.append(cat)
+        return merged

@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--limit", type=int, default=0, help="evaluate only the first N images")
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--out", default=None, help="pickle the raw per-image results")
     args = ap.parse_args()
 
     from nuhtc_tpu.apis import init_detector
@@ -78,6 +79,13 @@ def main():
         rate = done / (time.perf_counter() - t0)
         print(f"\r{done}/{n} imgs ({rate:.1f} img/s)", end="", flush=True)
     print()
+
+    if args.out:
+        import pickle
+
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
+        print(f"raw results → {args.out}")
 
     eval_opts = parse_eval_options(args.eval_options)
     metrics = evaluate_dataset(
