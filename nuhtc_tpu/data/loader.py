@@ -80,6 +80,7 @@ def prepare_train_sample(dataset, idx: int, pipeline, rng: np.random.RandomState
         gt_labels=ann["labels"],
         gt_masks=masks,
         gt_semantic_seg=seg,
+        ismask=ann.get("ismask"),
     )
     return run_pipeline(pipeline, results, rng)
 
@@ -110,6 +111,7 @@ def collate_train(samples: List[dict], max_gt: int = 160, sem_stride: int = 4) -
     gt_labels = np.zeros((b, max_gt), np.int32)
     gt_valid = np.zeros((b, max_gt), bool)
     gt_patches = np.zeros((b, max_gt, PATCH_SIZE, PATCH_SIZE), np.float32)
+    gt_ismask = np.ones((b, max_gt), np.float32)
     gt_sem = np.zeros((b, hs // sem_stride, ws // sem_stride), np.int32)
 
     for i, s in enumerate(samples):
@@ -121,6 +123,8 @@ def collate_train(samples: List[dict], max_gt: int = 160, sem_stride: int = 4) -
             gt_labels[i, :n] = s["gt_labels"][:n]
             gt_valid[i, :n] = True
             gt_patches[i, :n] = instance_patches(s["gt_masks"][:n], s["gt_bboxes"][:n])
+            if "ismask" in s:
+                gt_ismask[i, :n] = s["ismask"][:n]
         seg = s.get("gt_semantic_seg")
         if seg is not None:
             sh, sw = seg.shape
@@ -131,6 +135,7 @@ def collate_train(samples: List[dict], max_gt: int = 160, sem_stride: int = 4) -
         gt_labels=gt_labels,
         gt_valid=gt_valid,
         gt_patches=gt_patches,
+        gt_ismask=gt_ismask,
         gt_semantic=gt_sem,
     )
 

@@ -144,8 +144,12 @@ class NuHTC(nn.Module):
                 start_level=self.attn_start_level,
                 thres=self.attn_thres,
             )
-            sem_rf = single_roi_features(sem, r, output_size=14, stride=self.strides[0])
-            rf = rf + adaptive_avg_pool_grid(sem_rf, 7)
+            # exact fusion of adaptive_avg_pool2d(RoIAlign14, 7) — pool_from
+            # doubles the adaptive sample grid instead of computing at 14²
+            sem_rf = single_roi_features(
+                sem, r, output_size=7, stride=self.strides[0], pool_from=14
+            )
+            rf = rf + sem_rf
             return rf
 
         roi_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
@@ -428,8 +432,14 @@ class NuHTC(nn.Module):
 
         mtgt = jax.vmap(mk_targets)(mrois, mgt, gt_boxes, batch["gt_patches"])
         mprobs = jax.nn.sigmoid(mask_probs_logits.reshape(-1, 28, 28))
+        # NuCLS partial supervision: instances with ismask=0 (box-only
+        # annotations) contribute no mask loss (reference RoIHead_Partial)
+        ismask = batch.get("gt_ismask")
+        mw = mpos.astype(jnp.float32)
+        if ismask is not None:
+            mw = mw * jnp.take_along_axis(ismask, mgt, axis=1)
         losses["s2.loss_mask"] = stage_lw[-1] * L.dice_loss(
-            mprobs, mtgt.reshape(-1, 28, 28), weight=mpos.reshape(-1).astype(jnp.float32),
+            mprobs, mtgt.reshape(-1, 28, 28), weight=mw.reshape(-1),
         )
 
         losses["total"] = sum(losses.values())

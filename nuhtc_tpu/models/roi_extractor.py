@@ -60,9 +60,11 @@ def single_roi_features(
     stride: int = 4,
     sampling_ratio: int = 0,
     max_grid: int = 8,
+    pool_from: int | None = None,
 ) -> jnp.ndarray:
     return roi_align(
-        feat, rois, 1.0 / stride, output_size, sampling_ratio=sampling_ratio, max_grid=max_grid
+        feat, rois, 1.0 / stride, output_size, sampling_ratio=sampling_ratio,
+        max_grid=max_grid, pool_from=pool_from,
     )
 
 

@@ -68,7 +68,7 @@ def _interp_matrix(
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "max_grid", "chunk", "exact"),
+    static_argnames=("output_size", "sampling_ratio", "max_grid", "chunk", "exact", "pool_from"),
 )
 def roi_align(
     feat: jnp.ndarray,  # (H, W, C) single image, NHWC layout sans batch
@@ -79,6 +79,7 @@ def roi_align(
     max_grid: int = 8,
     chunk: int = 64,
     exact: bool = False,
+    pool_from: int | None = None,
 ) -> jnp.ndarray:
     """RoIAlign for one image. Returns (R, out, out, C).
 
@@ -99,7 +100,17 @@ def roi_align(
     bin_w = roi_w / output_size
     bin_h = roi_h / output_size
 
-    if sampling_ratio > 0:
+    if pool_from is not None:
+        # exact fusion of adaptive_avg_pool2d(RoIAlign(pool_from, sr=0), out):
+        # pooling k×k bins of the fine grid equals sampling k·ceil(roi/pool_from)
+        # points per coarse bin (identical sample set, see ops docstring) —
+        # halves the t1 intermediate vs computing at pool_from resolution.
+        assert pool_from % output_size == 0 and sampling_ratio == 0
+        k = pool_from // output_size
+        grid_h = (k * jnp.clip(jnp.ceil(roi_h / pool_from), 1, max_grid)).astype(jnp.int32)
+        grid_w = (k * jnp.clip(jnp.ceil(roi_w / pool_from), 1, max_grid)).astype(jnp.int32)
+        mg = k * max_grid
+    elif sampling_ratio > 0:
         grid_h = jnp.full((r,), sampling_ratio, dtype=jnp.int32)
         grid_w = grid_h
         mg = sampling_ratio

@@ -145,3 +145,23 @@ def test_roi_align_bf16_fast_mode_close(rng):
     fast = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 7, 2, exact=False))
     # bf16 inputs: ~0.4%% relative error bound
     np.testing.assert_allclose(fast, ex, rtol=0.05, atol=0.02)
+
+
+def test_roi_align_pool_from_equals_pool_of_fine(rng):
+    """pool_from=14→7 must equal adaptive_avg_pool2d(RoIAlign(14, sr0), 7)."""
+    feat = rng.randn(32, 32, 4).astype(np.float32)
+    rois = np.array(
+        [[4.0, 4.0, 60.0, 50.0], [10.0, 20.0, 100.0, 90.0], [0.0, 0.0, 127.0, 127.0]],
+        np.float32,
+    )
+    fine = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, 14, sampling_ratio=0, exact=True)
+    )
+    pooled = fine.reshape(-1, 7, 2, 7, 2, 4).mean(axis=(2, 4))
+    fused = np.asarray(
+        roi_align(
+            jnp.asarray(feat), jnp.asarray(rois), 0.25, 7,
+            sampling_ratio=0, pool_from=14, exact=True,
+        )
+    )
+    np.testing.assert_allclose(fused, pooled, rtol=1e-4, atol=1e-5)
