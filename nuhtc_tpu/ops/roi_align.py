@@ -77,7 +77,7 @@ def roi_align(
     output_size: int,
     sampling_ratio: int = 0,
     max_grid: int = 8,
-    chunk: int = 64,
+    chunk: int = 16,
     exact: bool = False,
     pool_from: int | None = None,
 ) -> jnp.ndarray:
