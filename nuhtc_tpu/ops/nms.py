@@ -38,7 +38,7 @@ def nms_keep_sorted(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
-    tile: int = 256,
+    tile: int = 128,
 ) -> jnp.ndarray:
     """Greedy NMS keep-mask for boxes already sorted by descending score.
 
@@ -101,7 +101,7 @@ def nms(
     valid: jnp.ndarray,
     iou_threshold: float,
     max_out: int,
-    tile: int = 256,
+    tile: int = 128,
 ):
     """Greedy NMS. Returns (boxes, scores, idx, valid) of static shape max_out.
 
@@ -136,7 +136,7 @@ def batched_nms(
     max_out: int,
     class_agnostic: bool = False,
     coord_bound: float | None = None,
-    tile: int = 256,
+    tile: int = 128,
 ):
     """NMS where boxes with different ``idxs`` never suppress each other.
 

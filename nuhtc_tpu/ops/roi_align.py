@@ -168,6 +168,7 @@ def attention_pool(
     stride: int,
     thres: float,
     eps: float = 1e-8,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Cosine-similarity attention pooling used by AttentionRoIExtractor for
     coarse levels (reference nuhtc/models/roi_extractors_cus.py:216-245).
@@ -195,8 +196,15 @@ def attention_pool(
     center = jax.lax.stop_gradient(center)
     flat_sg = jax.lax.stop_gradient(flat)
 
-    # cosine similarity, torch eps semantics: dot / max(|a|*|b|, eps)
-    dots = jnp.einsum("nc,rc->nr", flat_sg, center, precision=jax.lax.Precision.HIGHEST)
+    # cosine similarity, torch eps semantics: dot / max(|a|*|b|, eps).
+    # bf16 matmuls with f32 accumulation — the reference itself computes this
+    # in fp16 on GPU (roi_extractors_cus.py roi_dtype = float16 when cuda).
+    mdtype = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    dots = jnp.einsum(
+        "nc,rc->nr", flat_sg.astype(mdtype), center.astype(mdtype),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
     norms = jnp.linalg.norm(flat_sg, axis=1)  # (HW,)
     cnorm = jnp.linalg.norm(center, axis=1)  # (R,)
     denom = jnp.maximum(norms[:, None] * cnorm[None, :], eps)
@@ -204,6 +212,9 @@ def attention_pool(
     sim = jax.nn.relu(sim - thres) + thres  # (HW, R)
 
     pooled = (
-        jnp.einsum("nc,nr->cr", flat, sim, precision=jax.lax.Precision.HIGHEST) / (h * w)
+        jnp.einsum(
+            "nc,nr->cr", flat.astype(mdtype), sim.astype(mdtype),
+            precision=prec, preferred_element_type=jnp.float32,
+        ) / (h * w)
     )
     return pooled.T.astype(feat.dtype)  # (R, C)

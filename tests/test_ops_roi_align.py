@@ -123,7 +123,7 @@ def test_attention_pool_matches_torch_formula(rng):
     feat = rng.randn(h, w, c).astype(np.float32)
     rois = np.array([[10.0, 20.0, 60.0, 70.0], [100.0, 90.0, 120.0, 110.0]], np.float32)
 
-    got = np.asarray(attention_pool(jnp.asarray(feat), jnp.asarray(rois), stride, thres))
+    got = np.asarray(attention_pool(jnp.asarray(feat), jnp.asarray(rois), stride, thres, exact=True))
 
     # torch oracle — reference formulation (roi_extractors_cus.py:216-245)
     tf = torch.from_numpy(feat.transpose(2, 0, 1))[None]  # (1, C, H, W)
