@@ -126,7 +126,9 @@ def seesaw_ce(
 
     seesaw = jnp.ones((c, c), cls_logits.dtype)
     if p > 0:
-        ratio = new_cum[None, :] / jnp.clip(new_cum[:, None], 1e-12, None)  # [gt, other]
+        # mmdet clamps both counts at 1 (unseen classes are not annihilated)
+        cum_c = jnp.clip(new_cum, 1.0, None)
+        ratio = cum_c[None, :] / cum_c[:, None]  # [gt, other]
         mitigation = jnp.where(ratio < 1, ratio**p, 1.0)
         seesaw = seesaw * mitigation
     if q > 0:
@@ -168,7 +170,9 @@ def seesaw_loss(
     per_sample, new_cum = seesaw_ce(
         cls_logits, cls_labels, pos.astype(cls_score.dtype), cum_samples, p, q
     )
-    loss_cls = jnp.sum(per_sample) / jnp.maximum(jnp.sum(pos), 1.0)
+    # mmdet normalizes the positive-class loss by the TOTAL sample count
+    # (bbox head avg_factor), not by the positive count
+    loss_cls = jnp.sum(per_sample) / jnp.maximum(jnp.sum(weights), 1.0)
     return loss_weight * loss_cls, loss_weight * loss_obj, new_cum
 
 
