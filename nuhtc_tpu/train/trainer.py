@@ -109,7 +109,7 @@ class Trainer:
                 NamedSharding(mesh, P()),
             ),
             out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
-            donate_argnums=(0,),
+            # NOTE: buffer donation is rejected by the axon TPU backend
         )
 
         it = iter(loader)
