@@ -59,6 +59,37 @@ class Shared2FCBBoxHeadWithProb(nn.Module):
         return cls_score.astype(jnp.float32), bbox_pred.astype(jnp.float32)
 
 
+@HEADS.register()
+class Shared2FCBBoxHead(nn.Module):
+    """Plain softmax Shared2FC head — the mmdet default used by the standalone
+    MaskRCNN family (reference RoIHead_Partial over StandardRoIHead,
+    nuhtc/models/roi_head_partial.py:9 + mmdet shared_2fc head): (C+1)-way
+    softmax classifier + class-specific box regression."""
+
+    num_classes: int = 8
+    in_channels: int = 64
+    fc_out_channels: int = 1024
+    roi_feat_size: int = 7
+    reg_class_agnostic: bool = False
+    dtype: Dtype = jnp.float32
+    # reference config keys accepted for parity
+    bbox_coder: Any = None
+    loss_cls: Any = None
+    loss_bbox: Any = None
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        """roi_feats: (R, S, S, C) → (cls_score (R, C+1), bbox_pred (R, 4·C))."""
+        r = roi_feats.shape[0]
+        x = roi_feats.transpose(0, 3, 1, 2).reshape(r, -1)
+        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc1")(x))
+        cls_score = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="fc_cls")(x)
+        reg_out = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        bbox_pred = nn.Dense(reg_out, dtype=self.dtype, name="fc_reg")(x)
+        return cls_score.astype(jnp.float32), bbox_pred.astype(jnp.float32)
+
+
 def seesaw_activation(cls_score: jnp.ndarray) -> jnp.ndarray:
     """(..., C+2) raw logits → (..., C+1) scores (last = background)."""
     c = cls_score.shape[-1] - 2

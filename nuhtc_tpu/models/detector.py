@@ -78,6 +78,10 @@ class NuHTC(nn.Module):
     scale_factor: float = 2.0
     # candidate cap for multiclass NMS
     nms_candidates: int = 2048
+    # _Lite_Fuse variant (reference htc_roi_head_cus.py:2919): adds an n-class
+    # HTCSegBranch whose per-class watershed instances form the result
+    lite_fuse: bool = False
+    fuse_max_instances: int = 256
     backbone_cfg: Any = None
     dtype: Dtype = jnp.float32
 
@@ -108,6 +112,15 @@ class NuHTC(nn.Module):
             class_agnostic=True,
             dtype=self.dtype,
         )
+        if self.lite_fuse:
+            from nuhtc_tpu.models.extra_heads import HTCSegBranch
+
+            self.seg_branch = HTCSegBranch(
+                in_channels=self.fpn_channels,
+                conv_out_channels=self.fpn_channels,
+                num_classes=self.num_classes,
+                dtype=self.dtype,
+            )
 
     # ------------------------------------------------------------------ #
     def extract_feats(self, img, deterministic: bool = True):
@@ -127,6 +140,8 @@ class NuHTC(nn.Module):
             self.bbox_heads[stage](rf)
         mf = jnp.zeros((2, 14, 14, self.fpn_channels), self.dtype)
         self.mask_head(mf, res_feat=None, return_logits=True, return_feat=False)
+        if self.lite_fuse:
+            self.seg_branch(img, semantic_feat)
         return None
 
     # ------------------------------------------------------------------ #
@@ -252,6 +267,50 @@ class NuHTC(nn.Module):
         mask_probs = self._mask_forward(feats, semantic_feat, mask_boxes)
         det["mask_probs"] = mask_probs
         return det
+
+    def fuse_test(self, img, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """_Lite_Fuse inference (reference HybridTaskCascadeRoIHead_Lite_Fuse.
+        simple_test, htc_roi_head_cus.py:3100-3296): run the n-class seg
+        branch over raw image + semantic feature, upsample to the original
+        frame (bilinear align_corners, reference :3528), then per-class
+        watershed segmentation. The reference's 'ensemble' output is the
+        watershed results alone (:3227, :3291) — cascade detections are
+        computed but overwritten — so this returns only the fused instances.
+
+        Returns dict:
+          fuse_boxes (B, C, K, 5) [x1,y1,x2+1,y2+1,0.36] in original coords,
+          fuse_valid (B, C, K), fuse_inst (B, C, Ho, Wo) int32 instance maps,
+          fuse_roots (B, C, K) (mask k = fuse_inst == fuse_roots+1).
+        """
+        from nuhtc_tpu.ops.components import resize_align_corners
+        from nuhtc_tpu.ops.watershed import watershed_segmentation
+
+        if not self.lite_fuse:
+            raise ValueError("model was built with lite_fuse=False")
+        b, h, w, _ = img.shape
+        oh, ow = int(round(h / self.scale_factor)), int(round(w / self.scale_factor))
+
+        feats = self.extract_feats(img, deterministic=deterministic)
+        _, semantic_feat = self.semantic_head(feats)
+        _, seg_pred, _, _ = self.seg_branch(img, semantic_feat)
+        # (B, H, W, C) → original frame (B, Ho, Wo, C)
+        seg_ori = resize_align_corners(
+            seg_pred.transpose(0, 3, 1, 2), (oh, ow)
+        ).transpose(0, 2, 3, 1)
+
+        boxes5, valid, inst, roots = jax.vmap(
+            lambda s: watershed_segmentation(
+                s,
+                max_instances=self.fuse_max_instances,
+                min_area=self.watershed_min_area,
+            )
+        )(seg_ori)
+        return {
+            "fuse_boxes": boxes5,
+            "fuse_valid": valid,
+            "fuse_inst": inst,
+            "fuse_roots": roots,
+        }
 
     # ------------------------------------------------------------------ #
     # training

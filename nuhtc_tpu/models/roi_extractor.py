@@ -68,6 +68,37 @@ def single_roi_features(
     )
 
 
+def multilevel_roi_features(
+    feats: Sequence[jnp.ndarray],  # per-level (H, W, C) for ONE image
+    rois: jnp.ndarray,  # (R, 4)
+    output_size: int,
+    sampling_ratio: int = 0,
+    strides: Sequence[int] = (4, 8, 16, 32),
+    finest_scale: float = 56.0,
+    max_grid: int = 8,
+) -> jnp.ndarray:
+    """SingleRoIExtractor with ``map_roi_levels`` (mmdet
+    single_level_roi_extractor.py:36-55, used by the standalone MaskRCNN
+    family): each RoI reads ONE pyramid level,
+    lvl = clamp(floor(log2(sqrt(wh)/finest_scale + 1e-6)), 0, L-1).
+    Computed as a masked sum over per-level RoIAlign — static shapes, no
+    gathers; the 4× redundant compute is fine off the flagship path."""
+    scale = jnp.sqrt(
+        jnp.maximum(rois[:, 2] - rois[:, 0], 0.0) * jnp.maximum(rois[:, 3] - rois[:, 1], 0.0)
+    )
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, len(strides) - 1).astype(jnp.int32)
+    out = None
+    for i, (feat, stride) in enumerate(zip(feats, strides)):
+        t = roi_align(
+            feat, rois, 1.0 / stride, output_size,
+            sampling_ratio=sampling_ratio, max_grid=max_grid,
+        )
+        t = t * (lvl == i).astype(t.dtype)[:, None, None, None]
+        out = t if out is None else out + t
+    return out
+
+
 def adaptive_avg_pool_grid(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     """(R, S, S, C) → (R, out, out, C), torch adaptive_avg_pool2d semantics
     (here S is always an integer multiple of out: 14 → 7)."""

@@ -137,14 +137,38 @@ class Trainer:
                 ckpt.save_checkpoint(ckpt_dir, host_state, step=epoch + 1, keep=self.max_keep_ckpts)
                 self.logger.info(f"saved checkpoint @ epoch {epoch + 1}")
             if test_dataset is not None and (epoch + 1) % self.eval_interval == 0:
-                try:
-                    self._evaluate(test_dataset, jax.device_get(state.ema_params))
-                except Exception as e:  # eval must not kill training
-                    self.logger.warning(f"eval failed: {e}")
+                for name, p in self._eval_submodules(state).items():
+                    try:
+                        self._evaluate(test_dataset, jax.device_get(p), tag=name)
+                    except Exception as e:  # eval must not kill training
+                        self.logger.warning(f"eval[{name}] failed: {e}")
         self.logger.info(f"training done in {(time.time() - t_start) / 3600:.2f}h")
         return state
 
-    def _evaluate(self, dataset, params, limit: int = 256):
+    def _eval_submodules(self, state) -> Dict[str, Any]:
+        """Which parameter trees to evaluate — the SubModulesDistEvalHook
+        analog (reference nuhtc/utils/hooks/submodules_evaluation.py:11-80:
+        semi-supervised runs switch ``inference_on`` across teacher/student
+        and evaluate each). Here submodules are parameter trees over one
+        functional model: teacher/student for semi states, EMA by default.
+        Select with cfg key ``evaluated_modules`` (list of names)."""
+        avail: Dict[str, Any] = {}
+        for field, name in (
+            ("teacher_params", "teacher"),
+            ("student_params", "student"),
+            ("ema_params", "ema"),
+            ("params", "raw"),
+        ):
+            if hasattr(state, field):
+                avail[name] = getattr(state, field)
+        wanted = self.cfg.get("evaluated_modules")
+        if wanted:
+            return {n: avail[n] for n in wanted if n in avail}
+        if "teacher" in avail:  # semi runs evaluate both streams by default
+            return {"teacher": avail["teacher"], "student": avail["student"]}
+        return {"ema": avail.get("ema", avail.get("raw"))}
+
+    def _evaluate(self, dataset, params, limit: int = 256, tag: str = "ema"):
         from nuhtc_tpu.apis.inference import InferenceEngine
         from nuhtc_tpu.eval.evaluate import evaluate_dataset
         from nuhtc_tpu.ops import rle as rle_ops
@@ -176,7 +200,7 @@ class Trainer:
 
         metrics = evaluate_dataset(_Sliced(dataset, n), results)
         self.logger.info(
-            "eval: " + " ".join(
+            f"eval[{tag}]: " + " ".join(
                 f"{k}: {v:.4f}" for k, v in metrics.items() if isinstance(v, float)
             )
         )
