@@ -57,10 +57,16 @@ class WindowAttention(nn.Module):
         scale = self.qk_scale or head_dim**-0.5
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (b, nh, n, hd)
+        # contiguous last-axis splits (torch qkv weight order: q|k|v), head
+        # split via reshape only — no 5-d transpose materialization (a 1.4 ms
+        # HBM copy per stage-0 block on v5e); the batched matmuls below take
+        # (b, n, h, d) operands and XLA places the one needed relayout
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, n, self.num_heads, head_dim)
+        v = v.reshape(b, n, self.num_heads, head_dim)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -81,8 +87,7 @@ class WindowAttention(nn.Module):
 
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -134,7 +139,7 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         pad_b = (-h) % ws
         pad_r = (-w) % ws
@@ -168,7 +173,7 @@ class SwinBlock(nn.Module):
         rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
 
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = MLP(
             hidden=int(self.dim * self.mlp_ratio),
             out=self.dim,
@@ -196,7 +201,7 @@ class PatchMergingMM(nn.Module):
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)  # (B, h2, kh, w2, kw, C)
         x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, h2, w2, C, kh, kw)
         x = x.reshape(b, h // 2, w // 2, 4 * c)  # channel = c*4 + kh*2 + kw
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
         return x
 
@@ -239,7 +244,7 @@ class SwinTransformer(nn.Module):
             name="patch_embed",
         )(x)
         if self.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
         total_depth = sum(self.depths)
@@ -265,7 +270,7 @@ class SwinTransformer(nn.Module):
                 )(x, deterministic=deterministic)
                 block_idx += 1
             if stage_i in self.out_indices:
-                out = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage_i}")(x)
+                out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{stage_i}")(x)
                 outs.append(out)
             if stage_i < len(self.depths) - 1:
                 x = PatchMergingMM(out_dim=dim * 2, dtype=self.dtype, name=f"downsample{stage_i}")(x)

@@ -24,8 +24,9 @@ TPU design notes (measured on v5e):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -86,41 +87,80 @@ def label_components(mask: jnp.ndarray, max_iters: int = 64, inner: int = 16) ->
     return out.reshape(h, w)
 
 
-@partial(jax.jit, static_argnames=("max_components",))
-def component_boxes_from_raw(
-    lab: jnp.ndarray,  # raw labels (min linear index per component)
+def first_roots(
+    lab: jnp.ndarray,
     mask: jnp.ndarray,
-    max_components: int = 512,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Boxes/areas for the first ``max_components`` components in raster
-    order, without gathers: top-k root extraction + masked reductions.
+    max_components: int,
+    row_cap: int | None = 96,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First ``max_components`` component roots (min-linear-index pixels) in
+    raster order. Returns (roots (K,) int32 — padding = H·W, valid (K,)).
 
-    Returns (boxes (K, 4) [x1, y1, x2+1, y2+1] float32, areas (K,) int32,
-    valid (K,))."""
+    Two-stage exact top-k: per-ROW top-``row_cap`` (sorting H rows of W beats
+    one H·W sort ~7× on the VPU), then a global top-k over H·row_cap
+    survivors. Exact as long as no single row holds > row_cap roots: a root
+    is its component's first pixel and components on the main path come out
+    of a 5×5 binary opening, so their row pitch is ≥ 6 px ⇒ ≤ ceil(W/6)
+    roots/row (86 at W=512). ``row_cap=None`` forces the single-sort path."""
     h, w = lab.shape
     n = h * w
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     is_root = (lab == idx) & mask.astype(bool)
-    # top_k over -(index) of roots → first K roots in raster order
-    scores = jnp.where(is_root, -idx, -jnp.int32(n)).reshape(-1)
+    scores = jnp.where(is_root, -idx, -jnp.int32(n))
+    if row_cap is not None and row_cap < w and h > 1:
+        row_top, _ = jax.lax.top_k(scores, min(row_cap, w))  # (H, row_cap)
+        scores = row_top.reshape(-1)
+    else:
+        scores = scores.reshape(-1)
     top, _ = jax.lax.top_k(scores, max_components)
     roots = -top  # ascending linear indices; padding slots = n
-    valid = roots < n
+    return roots, roots < n
 
-    eq = lab[None, :, :] == roots[:, None, None]  # (K, H, W), fused below
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    inf = jnp.float32(1e9)
-    x_min = jnp.min(jnp.where(eq, xs, inf), axis=(1, 2))
-    x_max = jnp.max(jnp.where(eq, xs, -inf), axis=(1, 2))
-    y_min = jnp.min(jnp.where(eq, ys, inf), axis=(1, 2))
-    y_max = jnp.max(jnp.where(eq, ys, -inf), axis=(1, 2))
-    areas = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
 
-    boxes = jnp.stack([x_min, y_min, x_max + 1.0, y_max + 1.0], axis=-1)
+@partial(jax.jit, static_argnames=("max_components", "row_cap"))
+def component_boxes_from_raw(
+    lab: jnp.ndarray,  # raw labels (min linear index per component)
+    mask: jnp.ndarray,
+    max_components: int = 512,
+    row_cap: int | None = 96,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Boxes/areas for the first ``max_components`` components in raster
+    order, without gathers: two-stage top-k root extraction + row-factored
+    masked reductions (reduce W first — per-element work on the (K, H, W)
+    compare drops ~40% vs five direct (K, H, W) reductions; y stats and area
+    finish on the small (K, H) row aggregates).
+
+    Returns (boxes (K, 4) [x1, y1, x2+1, y2+1] float32, areas (K,) int32,
+    valid (K,))."""
+    roots, valid = first_roots(lab, mask, max_components, row_cap)
+    boxes, areas = boxes_from_roots(lab, roots)
     boxes = jnp.where(valid[:, None], boxes, 0.0)
     areas = jnp.where(valid, areas, 0)
-    return boxes.astype(jnp.float32), areas, valid
+    return boxes, areas, valid
+
+
+def boxes_from_roots(lab: jnp.ndarray, roots: jnp.ndarray):
+    """Row-factored box/area extraction for given component ids.
+    lab (H, W) raw labels, roots (K,) label values (padding = out-of-range).
+    Returns (boxes (K, 4) [x1, y1, x2+1, y2+1] f32, areas (K,) int32)."""
+    h, w = lab.shape
+    eq = lab[None, :, :] == roots[:, None, None]  # (K, H, W), fused below
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    inf = jnp.float32(1e9)
+    row_xmin = jnp.min(jnp.where(eq, xs, inf), axis=2)  # (K, H)
+    row_xmax = jnp.max(jnp.where(eq, xs, -inf), axis=2)
+    row_cnt = jnp.sum(eq, axis=2, dtype=jnp.int32)
+
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :]
+    row_any = row_cnt > 0
+    x_min = jnp.min(row_xmin, axis=1)
+    x_max = jnp.max(row_xmax, axis=1)
+    y_min = jnp.min(jnp.where(row_any, ys, inf), axis=1)
+    y_max = jnp.max(jnp.where(row_any, ys, -inf), axis=1)
+    areas = jnp.sum(row_cnt, axis=1)
+
+    boxes = jnp.stack([x_min, y_min, x_max + 1.0, y_max + 1.0], axis=-1)
+    return boxes.astype(jnp.float32), areas
 
 
 @partial(jax.jit, static_argnames=("max_components",))
@@ -162,10 +202,12 @@ def component_proposals(
     from nuhtc_tpu.ops import morphology
 
     h, w = img_shape
-    # reference uses F.interpolate(align_corners=True); jax.image.resize
-    # bilinear is align_corners=False (half-pixel), so use our own matrix resize.
-    up = resize_align_corners(semantic_logits, (h, w))
-    blurred = morphology.gaussian_blur5(up)
+    # reference: F.interpolate(align_corners=True) then gaussian_blur(5). Both
+    # are separable linear operators, so blur∘resize composes into ONE pair of
+    # per-axis matrices applied to the low-res map — the 512² intermediate
+    # (resize 8.6 ms + blur 6.2 ms at B16 on v5e) collapses to ~1 ms of
+    # matmuls. Exact up to f32 reassociation.
+    blurred = resize_blur_align_corners(semantic_logits, (h, w))
     mask = blurred > thres
     mask = morphology.binary_open(mask, ksize=5, iterations=2) > 0.5
     mask = morphology.fill_holes(mask)
@@ -176,6 +218,64 @@ def component_proposals(
     boxes5 = jnp.concatenate([boxes, jnp.ones((boxes.shape[0], 1), boxes.dtype)], axis=-1)
     boxes5 = jnp.where(valid[:, None], boxes5, 0.0)
     return boxes5, valid
+
+
+def _axis_resize_np(src: int, dst: int) -> np.ndarray:
+    if dst == 1:
+        return np.ones((1, src))
+    coords = np.arange(dst) * (src - 1) / (dst - 1)
+    low = np.clip(np.floor(coords), 0, src - 1).astype(int)
+    high = np.clip(low + 1, 0, src - 1)
+    frac = coords - low
+    m = np.zeros((dst, src))
+    np.add.at(m, (np.arange(dst), low), 1 - frac)
+    np.add.at(m, (np.arange(dst), high), frac)
+    return m
+
+
+def _axis_blur_np(n: int, kernel_size: int = 5, sigma: float | None = None) -> np.ndarray:
+    from nuhtc_tpu.ops.morphology import gaussian_kernel1d
+
+    kv = gaussian_kernel1d(kernel_size, sigma).astype(np.float64)
+    pad = kernel_size // 2
+    g = np.zeros((n, n))
+    for t in range(kernel_size):
+        for i in range(n):
+            j = i - pad + t
+            if j < 0:
+                j = -j  # jnp.pad mode="reflect" (no edge repeat)
+            if j >= n:
+                j = 2 * (n - 1) - j
+            g[i, j] += kv[t]
+    return g
+
+
+@lru_cache(maxsize=16)
+def _resize_blur_mats(src_h, src_w, dst_h, dst_w, kernel_size, sigma):
+    by = (_axis_blur_np(dst_h, kernel_size, sigma) @ _axis_resize_np(src_h, dst_h)).astype(
+        np.float32
+    )
+    bx = (_axis_blur_np(dst_w, kernel_size, sigma) @ _axis_resize_np(src_w, dst_w)).astype(
+        np.float32
+    )
+    return by, bx
+
+
+def resize_blur_align_corners(
+    img: jnp.ndarray, size: tuple[int, int], kernel_size: int = 5, sigma: float | None = None
+) -> jnp.ndarray:
+    """Fused ``gaussian_blur5(resize_align_corners(img, size))`` — the two
+    separable linear operators composed into one (dst, src) matrix per axis."""
+    h, w = img.shape[-2:]
+    h2, w2 = size
+    by, bx = _resize_blur_mats(h, w, h2, w2, kernel_size, sigma)
+    lead = img.shape[:-2]
+    x = img.reshape((-1, h, w)).astype(jnp.float32)
+    out = jnp.einsum(
+        "ih,bhw,jw->bij", jnp.asarray(by), x, jnp.asarray(bx),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(lead + (h2, w2)).astype(img.dtype)
 
 
 def resize_align_corners(img: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:

@@ -92,53 +92,63 @@ def _dilate4(x: jnp.ndarray) -> jnp.ndarray:
     return x | up | down | left | right
 
 
-def _flood(seed: jnp.ndarray, allowed: jnp.ndarray, max_iters: int, inner: int) -> jnp.ndarray:
-    """Shift-based 4-connected flood of ``seed`` through ``allowed``."""
+def _shift_bool(x: jnp.ndarray, k: int, axis: int, rev: bool) -> jnp.ndarray:
+    """x'[i] = x[i-k] (or x[i+k] if rev) along ``axis``, False-filled."""
+    if axis == 0:
+        if rev:
+            return jnp.pad(x[k:, :], ((0, k), (0, 0)))
+        return jnp.pad(x[:-k, :], ((k, 0), (0, 0)))
+    if rev:
+        return jnp.pad(x[:, k:], ((0, 0), (0, k)))
+    return jnp.pad(x[:, :-k], ((0, 0), (k, 0)))
+
+
+def _sweep_or(v: jnp.ndarray, allowed: jnp.ndarray, axis: int, rev: bool) -> jnp.ndarray:
+    """Segmented OR scan (Hillis-Steele doubling): after the sweep, v[i] is
+    True iff some v[j] was True with j..i a contiguous ``allowed`` run along
+    the given direction. log2(n) steps of shifts — no per-pixel stepping."""
+    n = v.shape[axis]
+    run = allowed & _shift_bool(allowed, 1, axis, rev)
+    k = 1
+    while k < n:
+        v = v | (_shift_bool(v, k, axis, rev) & run)
+        run = run & _shift_bool(run, k, axis, rev)
+        k *= 2
+    return v
+
+
+def _flood_scan(seed: jnp.ndarray, allowed: jnp.ndarray, max_rounds: int = 64) -> jnp.ndarray:
+    """4-connected flood of ``seed`` through ``allowed`` via alternating
+    directional segmented scans, to fixpoint. Each round covers arbitrarily
+    long straight runs (log-step doubling), so border floods converge in a
+    handful of rounds instead of ~(H+W) single-pixel dilations."""
+    v0 = seed & allowed
+
+    def body(state):
+        v, _, it = state
+        v2 = v
+        for axis, rev in ((1, False), (1, True), (0, False), (0, True)):
+            v2 = _sweep_or(v2, allowed, axis, rev)
+        return v2, jnp.any(v2 != v), it + 1
 
     def cond(state):
         _, changed, it = state
-        return changed & (it < max_iters)
+        return changed & (it < max_rounds)
 
-    def body(state):
-        o, _, it = state
-        o2 = o
-        for _ in range(inner):
-            o2 = allowed & _dilate4(o2)
-        return o2, jnp.any(o2 != o), it + 1
-
-    out, _, _ = jax.lax.while_loop(cond, body, (seed & allowed, jnp.array(True), jnp.int32(0)))
+    out, _, _ = jax.lax.while_loop(cond, body, (v0, jnp.array(True), jnp.int32(0)))
     return out
 
 
-def fill_holes(
-    mask: jnp.ndarray, max_iters: int = 48, inner: int = 32, coarse_factor: int = 4
-) -> jnp.ndarray:
+def fill_holes(mask: jnp.ndarray, max_rounds: int = 64) -> jnp.ndarray:
     """scipy ``binary_fill_holes`` semantics (4-connectivity). mask: (H, W) bool.
 
-    Border-seeded flood through the background; background never reached is a
-    hole. The flood always travels ~(H+W)/2 pixels, so a conservative coarse
-    pass runs first: blocks that are fully background (min-pool) flood at
-    1/coarse_factor resolution, seeding the fine flood. The coarse pass can
-    only under-reach (never crosses walls), and the fine pass finishes
-    boundaries; only ultra-narrow (<coarse_factor px) channels longer than
-    the fine budget could stay unfilled — not a case nuclei masks produce.
-    """
+    Border-seeded flood through the background (scan-based, exact fixpoint);
+    background never reached is a hole."""
     mask = mask.astype(bool)
     h, w = mask.shape
     border = jnp.zeros((h, w), dtype=bool)
     border = border.at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     bg = ~mask
-    seed = bg & border
-
-    f = coarse_factor
-    if f > 1 and h % f == 0 and w % f == 0 and min(h, w) >= 16 * f:
-        bg_c = jnp.all(bg.reshape(h // f, f, w // f, f), axis=(1, 3))  # all-bg blocks
-        border_c = jnp.zeros((h // f, w // f), bool)
-        border_c = border_c.at[0, :].set(True).at[-1, :].set(True)
-        border_c = border_c.at[:, 0].set(True).at[:, -1].set(True)
-        out_c = _flood(border_c & bg_c, bg_c, max_iters=max(h, w) // (f * 8) + 4, inner=8)
-        seed = seed | (jnp.repeat(jnp.repeat(out_c, f, 0), f, 1) & bg)
-
-    outside = _flood(seed, bg, max_iters=max_iters, inner=inner)
+    outside = _flood_scan(bg & border, bg, max_rounds=max_rounds)
     return mask | (bg & ~outside)

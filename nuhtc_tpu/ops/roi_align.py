@@ -68,7 +68,9 @@ def _interp_matrix(
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "max_grid", "chunk", "exact", "pool_from"),
+    static_argnames=(
+        "output_size", "sampling_ratio", "max_grid", "chunk", "exact", "pool_from", "unroll"
+    ),
 )
 def roi_align(
     feat: jnp.ndarray,  # (H, W, C) single image, NHWC layout sans batch
@@ -80,6 +82,7 @@ def roi_align(
     chunk: int = 16,
     exact: bool = False,
     pool_from: int | None = None,
+    unroll: int = 1,  # >1 multiplies live t1 buffers — VMEM spill at 512²/B16
 ) -> jnp.ndarray:
     """RoIAlign for one image. Returns (R, out, out, C).
 
@@ -157,7 +160,14 @@ def roi_align(
         n_chunks = sy_p.shape[0] // chunk
         sy_p = sy_p.reshape(n_chunks, chunk, output_size, h)
         sx_p = sx_p.reshape(n_chunks, chunk, output_size, w)
-        out = jax.lax.map(one_chunk, (sy_p, sx_p))
+        # unrolled scan: chunking keeps t1 in VMEM, unrolling amortizes the
+        # TPU loop overhead (~15µs/iter measured on v5e) over several chunks
+        _, out = jax.lax.scan(
+            lambda _, args: (None, one_chunk(args)),
+            None,
+            (sy_p, sx_p),
+            unroll=min(unroll, n_chunks),
+        )
         out = out.reshape(-1, output_size, output_size, c)[:r]
     return out.astype(dtype)
 

@@ -157,7 +157,7 @@ def watershed_segmentation(
       roots  (C, K) int32 root linear indices (H*W on padding slots).
     """
     from nuhtc_tpu.ops import morphology
-    from nuhtc_tpu.ops.components import label_components_raw
+    from nuhtc_tpu.ops.components import boxes_from_roots, first_roots, label_components_raw
 
     h, w, c = seg_logits.shape
     n = h * w
@@ -178,31 +178,11 @@ def watershed_segmentation(
             raw = jnp.where(inst > 0, inst - 1, n)
             mask = inst > 0
 
-        # first-K roots in raster order (top-k over negated indices, no gathers)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + (
-            jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        )
-        is_root = (raw == idx) & mask
-        top, _ = jax.lax.top_k(
-            jnp.where(is_root, -idx, -jnp.int32(n)).reshape(-1), max_instances
-        )
-        roots = -top
-        valid = roots < n
-
-        eq = raw[None, :, :] == roots[:, None, None]
-        inf = jnp.float32(1e9)
-        ysf = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
-        xsf = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
-        x_min = jnp.min(jnp.where(eq, xsf, inf), axis=(1, 2))
-        x_max = jnp.max(jnp.where(eq, xsf, -inf), axis=(1, 2))
-        y_min = jnp.min(jnp.where(eq, ysf, inf), axis=(1, 2))
-        y_max = jnp.max(jnp.where(eq, ysf, -inf), axis=(1, 2))
-        areas = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
-
+        roots, valid = first_roots(raw, mask, max_instances)
+        boxes, areas = boxes_from_roots(raw, roots)
         valid = valid & (areas > min_area) & (areas < max_area)
-        boxes5 = jnp.stack(
-            [x_min, y_min, x_max + 1.0, y_max + 1.0, jnp.full_like(x_min, score)],
-            axis=-1,
+        boxes5 = jnp.concatenate(
+            [boxes, jnp.full((boxes.shape[0], 1), score, boxes.dtype)], axis=-1
         )
         boxes5 = jnp.where(valid[:, None], boxes5, 0.0)
         return boxes5, valid, inst, jnp.where(valid, roots, n)
@@ -222,7 +202,7 @@ def watershed_proposals_from_dist(
     distance logits → sigmoid → markers from dist > 0.25 → watershed over
     -distance within the blurred/opened seg mask → component boxes."""
     from nuhtc_tpu.ops import morphology
-    from nuhtc_tpu.ops.components import label_components_raw, component_boxes_from_raw
+    from nuhtc_tpu.ops.components import boxes_from_roots, first_roots, label_components_raw
 
     h, w = seg_logits.shape
     seg = morphology.gaussian_blur5(seg_logits)
@@ -238,28 +218,11 @@ def watershed_proposals_from_dist(
     inst = watershed(-dist, markers, mask)
 
     # box extraction: watershed labels are (marker-root linear index + 1);
-    # marker roots come from the raw marker label map (top-k, no gathers)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    idx = yy * w + xx
-    n = h * w
-    is_root = (raw == idx) & marker_mask
-    top, _ = jax.lax.top_k(jnp.where(is_root, -idx, -jnp.int32(n)).reshape(-1), max_components)
-    roots = -top
-    valid = roots < n
-
-    eq = inst[None, :, :] == (roots + 1)[:, None, None]
-    inf = jnp.float32(1e9)
-    ysf = yy.astype(jnp.float32)[None]
-    xsf = xx.astype(jnp.float32)[None]
-    x_min = jnp.min(jnp.where(eq, xsf, inf), axis=(1, 2))
-    x_max = jnp.max(jnp.where(eq, xsf, -inf), axis=(1, 2))
-    y_min = jnp.min(jnp.where(eq, ysf, inf), axis=(1, 2))
-    y_max = jnp.max(jnp.where(eq, ysf, -inf), axis=(1, 2))
-    areas = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
+    # marker roots come from the raw marker label map (two-stage top-k)
+    roots, valid = first_roots(raw, marker_mask, max_components)
+    boxes, areas = boxes_from_roots(inst, jnp.where(valid, roots + 1, -1))
 
     max_area = h * w / 4
     valid = valid & (areas > min_area) & (areas < max_area)
-    boxes = jnp.stack([x_min, y_min, x_max + 1.0, y_max + 1.0], axis=-1)
     boxes5 = jnp.concatenate([boxes, jnp.ones((boxes.shape[0], 1), boxes.dtype)], axis=-1)
     return jnp.where(valid[:, None], boxes5, 0.0), valid
