@@ -39,6 +39,30 @@ def _rel_position_index(ws: int) -> np.ndarray:
     return rel.sum(-1)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with an nn.Dense-compatible tree (kernel/bias) so the
+    same weights feed both the XLA path and the fused Pallas kernel."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features_out,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -50,17 +74,47 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
-        """x: (num_windows*B, N, C); mask: (nW, N, N) additive or None."""
-        b, n, c = x.shape
+    def __call__(self, x, mask=None, deterministic: bool = True, fused_map=None, shift: int = 0):
+        """x: (num_windows*B, N, C); mask: (nW, N, N) additive or None.
+
+        ``fused_map``: alternative input — the padded (and pre-rolled, if
+        shifted) feature map (B, Hp, Wp, C); attention then runs through the
+        fused Pallas band kernel (inference hot path) and returns the same
+        layout. ``x`` is ignored in that case."""
+        ws = self.window_size
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        wqkv, bqkv = _DenseParams(self.dim, self.dim * 3, self.qkv_bias, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, True, name="proj")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        index = _rel_position_index(ws)
+        n = ws * ws
+
+        if fused_map is not None:
+            from nuhtc_tpu.ops.window_attention_pallas import window_attention_fused
+
+            bias49 = table[index.reshape(-1)].reshape(n, n, self.num_heads)
+            bias49 = bias49.transpose(2, 0, 1)  # (nh, 49, 49)
+            if bqkv is None:
+                bqkv = jnp.zeros((self.dim * 3,), jnp.float32)
+            return window_attention_fused(
+                fused_map, wqkv, bqkv, wproj, bproj, bias49,
+                ws=ws, num_heads=self.num_heads, shift=shift,
+            )
+
+        b, n, c = x.shape
+        dt = self.dtype
+        qkv = jnp.dot(x.astype(dt), wqkv.astype(dt))
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(dt)
         # contiguous last-axis splits (torch qkv weight order: q|k|v), head
-        # split via reshape only — no 5-d transpose materialization (a 1.4 ms
-        # HBM copy per stage-0 block on v5e); the batched matmuls below take
-        # (b, n, h, d) operands and XLA places the one needed relayout
+        # split via reshape only — no 5-d transpose materialization
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, n, self.num_heads, head_dim)
         k = k.reshape(b, n, self.num_heads, head_dim)
@@ -68,13 +122,6 @@ class WindowAttention(nn.Module):
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
 
-        table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.truncated_normal(0.02),
-            ((2 * self.window_size - 1) ** 2, self.num_heads),
-            jnp.float32,
-        )
-        index = _rel_position_index(self.window_size)
         bias = table[index.reshape(-1)].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # (nh, n, n)
         attn = attn + bias[None].astype(attn.dtype)
@@ -88,7 +135,7 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = jnp.dot(out.astype(dt), wproj.astype(dt)) + bproj.astype(dt)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -131,6 +178,7 @@ class SwinBlock(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    fused_attention: bool = True  # Pallas band kernel on TPU inference
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -149,12 +197,8 @@ class SwinBlock(nn.Module):
         shift = ws // 2 if self.shift else 0
         if shift:
             xp = jnp.roll(xp, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
-        else:
-            mask = None
 
-        wins = window_partition(xp, ws)
-        wins = WindowAttention(
+        attn_mod = WindowAttention(
             dim=self.dim,
             num_heads=self.num_heads,
             window_size=ws,
@@ -163,8 +207,23 @@ class SwinBlock(nn.Module):
             proj_drop=self.drop_rate,
             dtype=self.dtype,
             name="attn",
-        )(wins, mask=mask, deterministic=deterministic)
-        xp = window_reverse(wins, ws, hp, wp)
+        )
+        use_fused = (
+            self.fused_attention
+            and deterministic
+            and self.dtype == jnp.bfloat16
+            and jax.default_backend() != "cpu"
+            # band kernel beats XLA only on large spatial extents (stage 0/1);
+            # at 32² and below the block-diagonal waste dominates (measured)
+            and h * w >= 64 * 64
+        )
+        if use_fused:
+            xp = attn_mod(None, deterministic=True, fused_map=xp, shift=shift)
+        else:
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift)) if shift else None
+            wins = window_partition(xp, ws)
+            wins = attn_mod(wins, mask=mask, deterministic=deterministic)
+            xp = window_reverse(wins, ws, hp, wp)
 
         if shift:
             xp = jnp.roll(xp, (shift, shift), axis=(1, 2))
@@ -221,6 +280,7 @@ class SwinTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     patch_norm: bool = True
+    fused_attention: bool = True
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = 1  # honored by the optimizer mask, not here
     patch_size: int = 4
@@ -265,6 +325,7 @@ class SwinTransformer(nn.Module):
                     drop_rate=self.drop_rate,
                     attn_drop_rate=self.attn_drop_rate,
                     drop_path_rate=float(dprs[block_idx]),
+                    fused_attention=self.fused_attention,
                     dtype=self.dtype,
                     name=f"stage{stage_i}_block{blk_i}",
                 )(x, deterministic=deterministic)

@@ -1,0 +1,82 @@
+"""Parity test: fused Pallas window-attention (interpret mode on CPU) vs the
+XLA WindowAttention module, shifted and non-shifted.
+
+Interpret-mode pallas is minutes-slow on the 1-core CI host, so this suite is
+opt-in (NUHTC_SLOW_PALLAS=1). The same comparison runs natively on the TPU
+via tools/analysis_tools/probe_fused_attention.py (block-level fused vs XLA,
+max rel diff ~0.07 = bf16 reordering)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nuhtc_tpu.models.swin import (
+    WindowAttention,
+    _rel_position_index,
+    _shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+from nuhtc_tpu.ops.window_attention_pallas import window_attention_fused
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("NUHTC_SLOW_PALLAS") != "1",
+    reason="pallas interpret mode is minutes-slow on the 1-core host",
+)
+
+WS, H, W, C, NH, B = 7, 14, 21, 32, 2, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+    wa = WindowAttention(dim=C, num_heads=NH, window_size=WS, dtype=jnp.bfloat16)
+    wins = window_partition(x, WS)
+    p = wa.init(jax.random.PRNGKey(0), wins)
+    return x, wa, p
+
+
+def _fused(x, p, shift):
+    params = p["params"]
+    table = params["relative_position_bias_table"]
+    idx = _rel_position_index(WS)
+    bias49 = table[idx.reshape(-1)].reshape(WS * WS, WS * WS, NH).transpose(2, 0, 1)
+    return window_attention_fused(
+        x,
+        params["qkv"]["kernel"],
+        params["qkv"]["bias"],
+        params["proj"]["kernel"],
+        params["proj"]["bias"],
+        bias49,
+        ws=WS,
+        num_heads=NH,
+        shift=shift,
+        interpret=True,
+    )
+
+
+def test_fused_matches_xla_noshift(setup):
+    x, wa, p = setup
+    wins = window_partition(x, WS)
+    want = window_reverse(wa.apply(p, wins), WS, H, W)
+    got = _fused(x, p, shift=0)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.06
+    )
+
+
+def test_fused_matches_xla_shifted(setup):
+    x, wa, p = setup
+    shift = WS // 2
+    xr = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    mask = jnp.asarray(_shift_attn_mask(H, W, WS, shift))
+    wins = window_partition(xr, WS)
+    want = window_reverse(wa.apply(p, wins, mask=mask), WS, H, W)
+    got = _fused(xr, p, shift=shift)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.06
+    )
