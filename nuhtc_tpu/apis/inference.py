@@ -30,10 +30,22 @@ class InferenceEngine:
         tile_size: int = 256,
         scale_factor: float = 2.0,
         paste_masks: bool = True,
+        device_preprocess: bool = False,
+        compact_masks: bool = False,
     ):
+        """``device_preprocess``: upload uint8 tiles and run resize×scale +
+        normalization on device (host→device bytes drop 16×; the device
+        half-pixel bilinear matches cv2.INTER_LINEAR up to cv2's fixed-point
+        rounding). ``compact_masks``: return one int32 instance label map per
+        tile instead of N full-frame masks (device→host bytes drop ~250×;
+        overlapping pixels go to the higher-scoring detection — see
+        ops/mask_paste.paste_label_map). Both are the WSI-mode defaults via
+        ``infer_slide``; the strict-parity patch CLI keeps them off."""
         import jax
         import jax.numpy as jnp
-        from nuhtc_tpu.ops.mask_paste import paste_masks as paste_fn
+        from nuhtc_tpu.data.pipelines import IMG_NORM
+        from nuhtc_tpu.ops.components import resize_half_pixel
+        from nuhtc_tpu.ops.mask_paste import paste_label_map, paste_masks as paste_fn
         from nuhtc_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -44,11 +56,40 @@ class InferenceEngine:
         self.tile_size = tile_size
         self.scale_factor = scale_factor
         self.num_classes = model.num_classes
-        self._forward = jax.jit(lambda p, x: model.apply(p, x))
-
+        self.device_preprocess = device_preprocess
+        self.compact_masks = compact_masks
         thr = model.mask_thr_binary
+        rs = self.resized_size
+        in_size = self.input_size  # resized, then zero-padded to /32
+        mean = jnp.asarray(IMG_NORM["mean"], jnp.float32)
+        std = jnp.asarray(IMG_NORM["std"], jnp.float32)
 
-        if paste_masks:
+        def _prep(x_u8):
+            x = x_u8.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, 3, t, t)
+            x = resize_half_pixel(x, (rs, rs))
+            x = x.transpose(0, 2, 3, 1)
+            x = (x - mean) / std
+            if in_size != rs:
+                x = jnp.pad(x, ((0, 0), (0, in_size - rs), (0, in_size - rs), (0, 0)))
+            return x
+
+        def _fwd(p, x):
+            if device_preprocess:
+                x = _prep(x)
+            det = model.apply(p, x)
+            if compact_masks:
+                lab = jax.vmap(
+                    lambda m, b, v: paste_label_map(
+                        m, b, v, (tile_size, tile_size), threshold=thr
+                    )
+                )(det["mask_probs"], det["boxes"], det["valid"])
+                det = {k: v for k, v in det.items() if k != "mask_probs"}
+                det["label_map"] = lab.astype(jnp.int32)
+            return det
+
+        self._forward = jax.jit(_fwd)
+
+        if paste_masks and not compact_masks:
 
             def _paste(det):
                 # per image: (D, 28, 28) probs + boxes in ori frame → (D, h, w) u8
@@ -62,8 +103,13 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------ #
     @property
+    def resized_size(self) -> int:
+        return int(self.tile_size * self.scale_factor + 0.5)
+
+    @property
     def input_size(self) -> int:
-        return int(self.tile_size * self.scale_factor)
+        # resize then pad to /32 (reference test pipeline Pad(size_divisor=32))
+        return ((self.resized_size + 31) // 32) * 32
 
     def preprocess(self, imgs: Sequence[np.ndarray]) -> np.ndarray:
         """RGB uint8 images (tile_size²) → padded normalized batch."""
@@ -74,15 +120,37 @@ class InferenceEngine:
             out[i, : t.shape[0], : t.shape[1]] = t
         return out
 
+    def preprocess_u8(self, imgs: Sequence[np.ndarray]) -> np.ndarray:
+        """Raw uint8 tiles → padded (B, tile, tile, 3) uint8 (device path)."""
+        out = np.zeros((self.batch_size, self.tile_size, self.tile_size, 3), np.uint8)
+        for i, im in enumerate(imgs):
+            out[i, : im.shape[0], : im.shape[1]] = im[: self.tile_size, : self.tile_size]
+        return out
+
+    def dispatch(self, imgs: Sequence[np.ndarray]):
+        """Async half of run_batch: upload + enqueue the forward, return
+        device arrays immediately. Pair with ``collect`` — dispatching the
+        next batch before collecting the previous overlaps host
+        post-processing with device compute (the WSI stage-B hot loop)."""
+        n = len(imgs)
+        batch = self.preprocess_u8(imgs) if self.device_preprocess else self.preprocess(imgs)
+        det = self._forward(self.params, batch)
+        pasted = self._paste(det) if self._paste is not None else None
+        return det, pasted, n
+
+    def collect(self, handle) -> List[Dict[str, np.ndarray]]:
+        det, pasted, n = handle
+        if pasted is not None:
+            pasted = np.asarray(pasted)
+        det = {k: np.asarray(v) for k, v in det.items()}
+        return self._split_results(det, pasted, n)
+
     def run_batch(self, imgs: Sequence[np.ndarray]) -> List[Dict[str, np.ndarray]]:
         """Returns per-image dicts: boxes (n,4) ori-frame, scores, labels,
         probs, masks (n, tile, tile) uint8."""
-        n = len(imgs)
-        batch = self.preprocess(imgs)
-        det = self._forward(self.params, batch)
-        if self._paste is not None:
-            pasted = np.asarray(self._paste(det))
-        det = {k: np.asarray(v) for k, v in det.items()}
+        return self.collect(self.dispatch(imgs))
+
+    def _split_results(self, det, pasted, n) -> List[Dict[str, np.ndarray]]:
         results = []
         for i in range(n):
             valid = det["valid"][i]
@@ -91,9 +159,15 @@ class InferenceEngine:
                 scores=det["scores"][i][valid],
                 labels=det["labels"][i][valid],
                 probs=det["probs"][i][valid],
-                mask_probs=det["mask_probs"][i][valid],
             )
-            if self._paste is not None:
+            if "mask_probs" in det:
+                r["mask_probs"] = det["mask_probs"][i][valid]
+            if self.compact_masks:
+                ids = np.nonzero(valid)[0]
+                r["masks"] = (
+                    det["label_map"][i][None, :, :] == (ids + 1)[:, None, None]
+                ).astype(np.uint8)
+            elif pasted is not None:
                 r["masks"] = pasted[i][valid]
             results.append(r)
         return results
@@ -118,16 +192,23 @@ def init_detector(
     batch_size: int = 8,
     dtype=None,
     use_ema: bool = True,
+    device_preprocess: bool = False,
+    compact_masks: bool = False,
+    scale_factor: Optional[float] = None,
 ) -> InferenceEngine:
+    """``scale_factor`` overrides the config's test rescale (WSI mode uses
+    80/mag, reference tools/infer_wsi.py:416-419) — it must be baked into the
+    model so detection boxes come back in the tile frame."""
     import jax
     import jax.numpy as jnp
 
     cfg = Config.fromfile(config) if isinstance(config, str) else config
     dtype = dtype or (jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32)
-    scale_factor = float(cfg.get("scale_factor", 2.0))
+    if scale_factor is None:
+        scale_factor = float(cfg.get("scale_factor", 2.0))
     model = build_detector(cfg.model, cfg.model.get("test_cfg"), scale_factor, dtype=dtype)
 
-    img_size = int(256 * scale_factor)
+    img_size = ((int(256 * scale_factor + 0.5) + 31) // 32) * 32
     img = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), img, method="init_forward")
 
@@ -148,7 +229,10 @@ def init_detector(
                 params = state["params"]
             else:
                 params = state
-    return InferenceEngine(model, params, batch_size=batch_size, scale_factor=scale_factor)
+    return InferenceEngine(
+        model, params, batch_size=batch_size, scale_factor=scale_factor,
+        device_preprocess=device_preprocess, compact_masks=compact_masks,
+    )
 
 
 class TTAEngine:

@@ -278,6 +278,39 @@ def resize_blur_align_corners(
     return out.reshape(lead + (h2, w2)).astype(img.dtype)
 
 
+@lru_cache(maxsize=16)
+def _half_pixel_mats(src_h, src_w, dst_h, dst_w):
+    def axis(src, dst):
+        coords = (np.arange(dst) + 0.5) * src / dst - 0.5  # half-pixel centers
+        low = np.clip(np.floor(coords), 0, src - 1).astype(int)
+        high = np.clip(low + 1, 0, src - 1)
+        frac = np.clip(coords - np.floor(coords), 0.0, 1.0)
+        frac = np.where(coords < 0, 0.0, frac)  # border replicate
+        m = np.zeros((dst, src))
+        np.add.at(m, (np.arange(dst), low), 1 - frac)
+        np.add.at(m, (np.arange(dst), high), frac)
+        return m.astype(np.float32)
+
+    return axis(src_h, dst_h), axis(src_w, dst_w)
+
+
+def resize_half_pixel(img: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers (cv2.INTER_LINEAR /
+    align_corners=False semantics, border replicate). img: (..., H, W)."""
+    h, w = img.shape[-2:]
+    h2, w2 = size
+    if (h, w) == (h2, w2):
+        return img
+    my, mx = _half_pixel_mats(h, w, h2, w2)
+    lead = img.shape[:-2]
+    x = img.reshape((-1, h, w)).astype(jnp.float32)
+    out = jnp.einsum(
+        "ih,bhw,jw->bij", jnp.asarray(my), x, jnp.asarray(mx),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(lead + (h2, w2)).astype(img.dtype)
+
+
 def resize_align_corners(img: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize with PyTorch ``align_corners=True`` semantics.
 

@@ -64,3 +64,55 @@ def paste_masks(
         ),
     )
     return out.reshape((-1, h, w))[:n]
+
+
+@partial(jax.jit, static_argnames=("out_shape", "threshold", "chunk"))
+def paste_label_map(
+    masks: jnp.ndarray,  # (N, M, M) mask probabilities, score-sorted
+    boxes: jnp.ndarray,  # (N, 4) in output-frame coords
+    valid: jnp.ndarray,  # (N,)
+    out_shape: tuple[int, int],
+    threshold: float = 0.5,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Compact WSI-mode output: paste all detections into ONE (H, W) int32
+    instance map (pixel = 1 + index of the first/highest-score detection
+    covering it; 0 = background) instead of N full-frame masks.
+
+    Cuts the device→host transfer from N·H·W bytes (~33 MB per image at
+    N=500, 256²) to H·W·4 — the per-detection masks are reconstructed on host
+    as ``label_map == i+1``. Detections are near-disjoint after mask-NMS, so
+    the only behavioral delta vs independent masks (reference get_seg_masks)
+    is that overlapping pixels go to the higher-scoring instance.
+    """
+    n, msize, _ = masks.shape
+    h, w = out_shape
+    big = jnp.int32(n + 1)
+
+    pad = (-n) % chunk
+    masks_p = jnp.pad(masks, ((0, pad), (0, 0), (0, 0)))
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
+    nc = masks_p.shape[0] // chunk
+    idx_p = jnp.arange(nc * chunk, dtype=jnp.int32).reshape(nc, chunk)
+
+    def step(carry, args):
+        m_c, b_c, v_c, i_c = args
+        py = _paste_matrix(b_c[:, 1], b_c[:, 3], h, msize)
+        px = _paste_matrix(b_c[:, 0], b_c[:, 2], w, msize)
+        t = jnp.einsum("nhk,nkl->nhl", py, m_c.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+        full = jnp.einsum("nhl,nwl->nhw", t, px, precision=jax.lax.Precision.HIGHEST)
+        on = (full > threshold) & v_c[:, None, None]
+        cand = jnp.min(jnp.where(on, i_c[:, None, None], big), axis=0)  # (H, W)
+        return jnp.minimum(carry, cand), None
+
+    init = jnp.full((h, w), big, jnp.int32)
+    lab, _ = jax.lax.scan(
+        step, init,
+        (masks_p.reshape(nc, chunk, msize, msize),
+         boxes_p.reshape(nc, chunk, 4),
+         valid_p.reshape(nc, chunk),
+         idx_p),
+    )
+    return jnp.where(lab >= big, 0, lab + 1)

@@ -161,11 +161,9 @@ def infer_slide(
     n_tiles = len(coords)
     n_nuclei = 0
     annidx = 0
-    for tiles, batch_coords in tile_stream(
-        slide, coords, patch_size, batch_size=engine.batch_size, num_threads=num_read_threads
-    ):
-        results = engine.run_batch(tiles)
-        for res, coord in zip(results, batch_coords):
+    def process(handle, batch_coords):
+        nonlocal n_nuclei, annidx
+        for res, coord in zip(engine.collect(handle), batch_coords):
             conts, labels, scores, boxes, rles = postprocess_tile(
                 res, tuple(coord), patch_size, cfg
             )
@@ -182,6 +180,20 @@ def infer_slide(
                 f"({annidx / max(dt, 1e-9):.1f} tiles/s, {n_nuclei} nuclei)",
                 end="", flush=True,
             )
+
+    # software pipelining: dispatch batch N+1 before collecting batch N so
+    # host post-processing (contours, export IO) overlaps device compute
+    # (reference stage B serializes these per batch — SURVEY.md §3.3)
+    pending = None
+    for tiles, batch_coords in tile_stream(
+        slide, coords, patch_size, batch_size=engine.batch_size, num_threads=num_read_threads
+    ):
+        handle = engine.dispatch(tiles)
+        if pending is not None:
+            process(*pending)
+        pending = (handle, batch_coords)
+    if pending is not None:
+        process(*pending)
     exporter.close()
     dt = time.perf_counter() - t0
     if progress:

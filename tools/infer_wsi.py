@@ -115,8 +115,15 @@ def main():
     )
 
     # ---------------- Stage B: tile inference ---------------------------
-    engine = init_detector(cfg, args.checkpoint, batch_size=args.batch_size)
-    engine.scale_factor = scale_factor
+    # device-side preprocess + compact label-map transfer: the WSI throughput
+    # path (16× less host→device, ~250× less device→host traffic)
+    import jax
+
+    on_device = jax.default_backend() != "cpu"
+    engine = init_detector(
+        cfg, args.checkpoint, batch_size=args.batch_size, scale_factor=scale_factor,
+        device_preprocess=on_device, compact_masks=on_device,
+    )
 
     for slide_name in slides:
         slide_id = os.path.splitext(slide_name)[0]
