@@ -53,16 +53,24 @@ def main():
     img0 = jnp.zeros((batch, size, size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), img0, method="init_forward")
 
+    from nuhtc_tpu.ops.mask_paste import paste_label_map
+
     @jax.jit
     def step(params, img):
         det = model.apply(params, img)
+        # device mask paste to the tile frame (reference benchmark.py times
+        # model() which includes get_seg_masks paste); production WSI path
+        # uses the compact instance label map
+        lab = jax.vmap(
+            lambda m, b, v: paste_label_map(m, b, v, (tile, tile), threshold=0.5)
+        )(det["mask_probs"], det["boxes"], det["valid"])
         # scalar checksum over every output forces full execution
         s = (
             det["boxes"].sum()
             + det["scores"].sum()
             + det["labels"].sum()
             + det["valid"].sum()
-            + det["mask_probs"].astype(jnp.float32).sum()
+            + lab.sum()
         )
         return s
 
