@@ -47,15 +47,60 @@ def _propagate_min(lab: jnp.ndarray, mask: jnp.ndarray, big, inner: int) -> jnp.
     return lab
 
 
+def _shift_i32(x: jnp.ndarray, k: int, axis: int, rev: bool, fill) -> jnp.ndarray:
+    """x'[i] = x[i-k] (or x[i+k] if rev) along ``axis``, fill-padded."""
+    if axis == 0:
+        if rev:
+            return jnp.pad(x[k:, :], ((0, k), (0, 0)), constant_values=fill)
+        return jnp.pad(x[:-k, :], ((k, 0), (0, 0)), constant_values=fill)
+    if rev:
+        return jnp.pad(x[:, k:], ((0, 0), (0, k)), constant_values=fill)
+    return jnp.pad(x[:, :-k], ((0, 0), (k, 0)), constant_values=fill)
+
+
+def _sweep_min(v: jnp.ndarray, allowed: jnp.ndarray, axis: int, rev: bool, big) -> jnp.ndarray:
+    """Segmented MIN scan (Hillis-Steele doubling) along one direction: after
+    the sweep each pixel holds the min of v over its contiguous ``allowed``
+    run up to itself. log2(n) shift steps — covers whole straight runs at
+    once, vs one pixel per step for 4-neighbor propagation."""
+    n = v.shape[axis]
+    run = allowed & _shift_bool_c(allowed, 1, axis, rev)
+    k = 1
+    while k < n:
+        v = jnp.minimum(v, jnp.where(run, _shift_i32(v, k, axis, rev, big), big))
+        run = run & _shift_bool_c(run, k, axis, rev)
+        k *= 2
+    return v
+
+
+def _shift_bool_c(x, k, axis, rev):
+    if axis == 0:
+        if rev:
+            return jnp.pad(x[k:, :], ((0, k), (0, 0)))
+        return jnp.pad(x[:-k, :], ((k, 0), (0, 0)))
+    if rev:
+        return jnp.pad(x[:, k:], ((0, 0), (0, k)))
+    return jnp.pad(x[:, :-k], ((0, 0), (k, 0)))
+
+
 def label_components_raw(
-    mask: jnp.ndarray, max_iters: int = 24, inner: int = 16
+    mask: jnp.ndarray, max_iters: int = 24, inner: int = 8, scan_rounds: int = 2
 ) -> jnp.ndarray:
-    """Labels = min linear index of each 4-connected component (bg = H*W)."""
+    """Labels = min linear index of each 4-connected component (bg = H*W).
+
+    Init: ``scan_rounds`` rounds of 4 directional segmented min-scans (each
+    covers whole straight runs in log steps — blob-shaped components converge
+    here). Refinement: shift-based 4-neighbor min propagation in a while loop
+    to the exact fixpoint (handles spirals/concavities the scans miss)."""
     h, w = mask.shape
     mask = mask.astype(bool)
     big = jnp.int32(h * w)
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    lab0 = jnp.where(mask, idx, big)
+    lab = jnp.where(mask, idx, big)
+
+    for _ in range(scan_rounds):
+        for axis, rev in ((1, False), (1, True), (0, False), (0, True)):
+            lab = _sweep_min(lab, mask, axis, rev, big)
 
     def cond(state):
         _, changed, it = state
@@ -66,7 +111,7 @@ def label_components_raw(
         l2 = _propagate_min(l, mask, big, inner)
         return l2, jnp.any(l2 != l), it + 1
 
-    lab, _, _ = jax.lax.while_loop(cond, body, (lab0, jnp.array(True), jnp.int32(0)))
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.array(True), jnp.int32(0)))
     return lab
 
 

@@ -44,8 +44,11 @@ def paste_masks(
         m_c, b_c = args
         py = _paste_matrix(b_c[:, 1], b_c[:, 3], h, msize)  # (c, H, M)
         px = _paste_matrix(b_c[:, 0], b_c[:, 2], w, msize)  # (c, W, M)
-        t = jnp.einsum("nhk,nkl->nhl", py, m_c.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)  # (c, H, M)
-        full = jnp.einsum("nhl,nwl->nhw", t, px, precision=jax.lax.Precision.HIGHEST)  # (c, H, W)
+        # HIGH = bf16x3 passes (~f32 accuracy at half the HIGHEST cost); mask
+        # probabilities and hat weights are O(1) so the residual error ~1e-6
+        # cannot flip the 0.5 threshold beyond true boundary ties
+        t = jnp.einsum("nhk,nkl->nhl", py, m_c.astype(jnp.float32), precision=jax.lax.Precision.HIGH)  # (c, H, M)
+        full = jnp.einsum("nhl,nwl->nhw", t, px, precision=jax.lax.Precision.HIGH)  # (c, H, W)
         if threshold >= 0:
             return (full > threshold).astype(jnp.uint8)
         return full
@@ -101,8 +104,8 @@ def paste_label_map(
         py = _paste_matrix(b_c[:, 1], b_c[:, 3], h, msize)
         px = _paste_matrix(b_c[:, 0], b_c[:, 2], w, msize)
         t = jnp.einsum("nhk,nkl->nhl", py, m_c.astype(jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST)
-        full = jnp.einsum("nhl,nwl->nhw", t, px, precision=jax.lax.Precision.HIGHEST)
+                       precision=jax.lax.Precision.HIGH)
+        full = jnp.einsum("nhl,nwl->nhw", t, px, precision=jax.lax.Precision.HIGH)
         on = (full > threshold) & v_c[:, None, None]
         cand = jnp.min(jnp.where(on, i_c[:, None, None], big), axis=0)  # (H, W)
         return jnp.minimum(carry, cand), None
