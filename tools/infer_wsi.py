@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--slide_ext", default=".svs")
     ap.add_argument("--mode", default="qupath", choices=["qupath", "dsa", "coco", "sql", "all"])
     ap.add_argument("--use_otsu", action="store_true")
+    ap.add_argument("--shard", default=None, metavar="I/N",
+                    help="process slide subset i of n (multi-host scale-out: "
+                    "slides are embarrassingly parallel — launch one process "
+                    "per host/chip with --shard 0/4 … 3/4; the reference's "
+                    "DDP analog for WSI inference)")
     args = ap.parse_args()
 
     import cv2
@@ -65,6 +70,11 @@ def main():
     slides = sorted(
         f for f in os.listdir(args.source) if os.path.isfile(os.path.join(args.source, f))
     )
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split("/"))
+        assert 0 <= i < n, args.shard
+        slides = slides[i::n]
+        print(f"shard {i}/{n}: {len(slides)} slides")
     status_rows = []
 
     # ---------------- Stage A: seg + patch + stitch ----------------------
@@ -110,9 +120,10 @@ def main():
         )
         row.update(n_patches=len(coords), seg_time=seg_t, patch_time=patch_t)
         status_rows.append(row)
-    pd.DataFrame(status_rows).to_csv(
-        os.path.join(args.save_dir, "process_list_autogen.csv"), index=False
+    status_csv = "process_list_autogen.csv" if not args.shard else (
+        f"process_list_autogen_shard{args.shard.replace('/', '_')}.csv"
     )
+    pd.DataFrame(status_rows).to_csv(os.path.join(args.save_dir, status_csv), index=False)
 
     # ---------------- Stage B: tile inference ---------------------------
     # device-side preprocess + compact label-map transfer: the WSI throughput
