@@ -60,8 +60,11 @@ def _conv_w(w):  # (O, I, kh, kw) → (kh, kw, I, O)
     return np.transpose(w, (2, 3, 1, 0))
 
 
-def _deconv_w(w):  # (I, O, kh, kw) → (kh, kw, I, O)
-    return np.transpose(w, (2, 3, 0, 1))
+def _deconv_w(w):  # (I, O, kh, kw) → (kh, kw, I, O), spatially flipped:
+    # torch conv_transpose2d ≡ flax ConvTranspose with a rot-180 kernel
+    # (flax uses fractionally-strided conv WITHOUT mirroring; verified vs
+    # torch in tests/test_heads_torch_parity.py::test_mask_head_matches_torch)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def _lin_w(w):  # (O, I) → (I, O)
