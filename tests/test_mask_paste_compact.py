@@ -71,3 +71,34 @@ def test_device_preprocess_matches_host():
     )
     # cv2 INTER_LINEAR uses 11-bit fixed-point weights → small rounding diffs
     np.testing.assert_allclose(dev, host, atol=0.02)
+
+
+def test_paste_matches_torch_grid_sample():
+    """paste_masks vs the reference _do_paste_mask formulation (mmdet
+    fcn_mask_head.py:346-394: F.grid_sample(align_corners=False,
+    padding_mode='zeros') over the box-normalized grid)."""
+    import torch
+    import torch.nn.functional as TF
+
+    rng = np.random.RandomState(5)
+    n, size, m = 12, 64, 28
+    masks, boxes = _random_dets(rng, n, size)
+
+    # torch oracle
+    mt = torch.tensor(masks)[:, None]  # (N, 1, M, M)
+    bt = torch.tensor(boxes)
+    ys = torch.arange(size, dtype=torch.float32) + 0.5
+    xs = torch.arange(size, dtype=torch.float32) + 0.5
+    gy = (ys[None, :] - bt[:, 1:2]) / (bt[:, 3:4] - bt[:, 1:2]) * 2 - 1  # (N, H)
+    gx = (xs[None, :] - bt[:, 0:1]) / (bt[:, 2:3] - bt[:, 0:1]) * 2 - 1
+    grid = torch.stack(
+        [gx[:, None, :].expand(n, size, size), gy[:, :, None].expand(n, size, size)], dim=3
+    )
+    want = TF.grid_sample(mt, grid, align_corners=False, padding_mode="zeros")[:, 0].numpy()
+
+    got = np.asarray(
+        paste_masks(jnp.asarray(masks), jnp.asarray(boxes), (size, size), threshold=-1.0)
+    )
+    # paste einsums run at Precision.HIGH (bf16x3) → ~1e-4 residual; far below
+    # the 0.5 binarization threshold sensitivity
+    np.testing.assert_allclose(got, want, atol=2e-3)
