@@ -51,6 +51,7 @@ def main():
     ap.add_argument("--corruptions", nargs="+", default=list(CORRUPTIONS))
     ap.add_argument("--severities", nargs="+", type=int, default=[1, 3, 5])
     ap.add_argument("--limit", type=int, default=64)
+    ap.add_argument("--out", default=None, help="save {distortion: {severity: metrics}} json")
     args = ap.parse_args()
 
     from nuhtc_tpu.apis import init_detector
@@ -87,12 +88,25 @@ def main():
                 results.append((bb, sg))
         return evaluate_dataset(_Sliced(dataset, n), results)
 
+    import json
+
     base = run_eval(lambda x: x)
     print(f"clean: pq={base['pq']:.4f}")
+    # reference layout ({distortion: {severity: metrics}}, severity 0 = clean
+    # run — mmdet tools/analysis_tools/test_robustness.py aggregation input)
+    all_results = {}
     for kind in args.corruptions:
+        all_results[kind] = {0: {k: float(v) for k, v in base.items() if isinstance(v, float)}}
         for sev in args.severities:
             m = run_eval(lambda x, k=kind, s=sev: corrupt(x, k, s))
             print(f"{kind} s{sev}: pq={m['pq']:.4f}")
+            all_results[kind][int(sev)] = {
+                k: float(v) for k, v in m.items() if isinstance(v, float)
+            }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(all_results, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
