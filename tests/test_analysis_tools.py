@@ -57,3 +57,39 @@ def test_viz_panel_shapes():
     inst = np.zeros((32, 40), np.int32); inst[20:30, 20:30] = 3
     over = vz.overlay_instances(img, inst)
     assert over.shape == img.shape
+
+
+def test_convert_format_roundtrip():
+    spec_dir = os.path.join(os.path.dirname(__file__), "..", "tools", "dataset")
+    spec = importlib.util.spec_from_file_location(
+        "convert_format", os.path.join(spec_dir, "convert_format.py")
+    )
+    cf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cf)
+
+    rng = np.random.RandomState(0)
+    n, h, w = 2, 32, 32
+    conic = np.zeros((n, h, w, 2), np.int32)
+    uid = 1
+    for i in range(n):
+        for _ in range(5):
+            y, x = rng.randint(0, h - 6), rng.randint(0, w - 6)
+            if conic[i, y : y + 5, x : x + 5, 0].any():
+                continue
+            conic[i, y : y + 5, x : x + 5, 0] = uid
+            conic[i, y : y + 5, x : x + 5, 1] = rng.randint(1, 4)
+            uid += 1
+
+    pann = cf.conic2pannuke(conic)
+    assert pann.shape[-1] == int(conic[..., 1].max()) + 1
+    # background flag correct
+    np.testing.assert_array_equal(pann[..., -1] == 1, conic[..., 0] == 0)
+    back = cf.pannuke2conic(pann)
+    # class maps must agree; instance ids are renumbered but partition-equal
+    np.testing.assert_array_equal(back[..., 1], conic[..., 1])
+    for i in range(n):
+        for u in np.unique(conic[i, :, :, 0]):
+            if u == 0:
+                continue
+            ids = np.unique(back[i, :, :, 0][conic[i, :, :, 0] == u])
+            assert len(ids) == 1 and ids[0] != 0
