@@ -552,6 +552,7 @@ class NuHTC(nn.Module):
             top_valid,
             self.rcnn_nms_iou,
             self.rcnn_max_per_img,
+            tile=256,  # measured best at the 2048-candidate shape (RPN keeps 128)
             coord_bound=jnp.max(jnp.where(top_valid[:, None], top_boxes, 0.0)),
         )
         out_labels = jnp.where(ov, top_labels[oi], -1)

@@ -32,7 +32,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9  # off-window pairs (artifact of band batching) — hard mask
 SHIFT_PEN = -100.0  # reference shift-mask additive value (swin.py _shift_attn_mask)
