@@ -16,9 +16,28 @@ from nuhtc_tpu.models.detector import NuHTC
 
 
 def build_detector(model_cfg: Dict[str, Any], test_cfg: Dict[str, Any] | None = None,
-                   scale_factor: float = 2.0, dtype=jnp.float32) -> NuHTC:
-    """model_cfg: the reference ``model=dict(...)`` tree (or a Config slice)."""
+                   scale_factor: float = 2.0, dtype=jnp.float32):
+    """model_cfg: the reference ``model=dict(...)`` tree (or a Config slice).
+
+    ``type`` dispatches through the DETECTORS registry: the HTC config schema
+    maps onto NuHTC below; other detector classes (e.g. the standalone
+    MaskRCNN family) take their config keys as direct constructor kwargs."""
     model_cfg = dict(model_cfg)
+    mtype = model_cfg.get("type")
+    if mtype and mtype not in ("NuHTC", "HybridTaskCascade_Cus"):
+        import dataclasses
+
+        from nuhtc_tpu.registry import DETECTORS
+
+        cls = DETECTORS.get(mtype)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in model_cfg.items() if k in fields}
+        kwargs.setdefault("scale_factor", scale_factor)
+        kwargs.setdefault("dtype", dtype)
+        dropped = set(model_cfg) - set(kwargs) - {"type"}
+        if dropped:
+            print(f"[build_detector] {mtype}: ignoring config keys {sorted(dropped)}")
+        return cls(**kwargs)
     test_cfg = dict(test_cfg or model_cfg.get("test_cfg") or {})
     roi = dict(model_cfg.get("roi_head") or {})
     neck = dict(model_cfg.get("neck") or {})

@@ -66,6 +66,7 @@ class MaskRCNN(nn.Module):
     rcnn_nms_iou: float = 0.5
     rcnn_max_per_img: int = 100
     nms_candidates: int = 1024
+    mask_thr_binary: float = 0.5  # InferenceEngine paste threshold
     scale_factor: float = 1.0
     with_mid_seg: bool = True
     backbone_cfg: Any = None
@@ -199,6 +200,7 @@ class MaskRCNN(nn.Module):
         cand_scores = scores[:, :c].reshape(-1)
         cand_valid = (cand_scores > self.rcnn_score_thr) & jnp.repeat(valid, c)
         cand_labels = jnp.tile(jnp.arange(c, dtype=jnp.int32), p)
+        cand_roi = jnp.repeat(jnp.arange(p, dtype=jnp.int32), c)
         cand_boxes = boxes_pc.reshape(-1, 4)
 
         k = min(self.nms_candidates, p * c)
@@ -207,6 +209,7 @@ class MaskRCNN(nn.Module):
         top_valid = top_scores > self.rcnn_score_thr
         top_boxes = cand_boxes[top_idx]
         top_labels = cand_labels[top_idx]
+        top_roi = cand_roi[top_idx]
 
         ob, os_, oi, ov = nms_ops.batched_nms(
             top_boxes,
@@ -218,18 +221,24 @@ class MaskRCNN(nn.Module):
             "boxes": ob,
             "scores": jnp.where(ov, os_, 0.0),
             "labels": jnp.where(ov, top_labels[oi], -1),
+            "probs": jnp.where(ov[:, None], scores[:, :c][top_roi[oi]], 0.0),
             "valid": ov,
         }
 
     # ------------------------------------------------------------------ #
-    def compute_losses(self, img, batch, deterministic: bool = False):
+    def compute_losses(self, img, batch, cum_samples=None, deterministic: bool = False):
         """Training losses: RPN + bbox (all GT) + mask (ismask subset only) +
         mid-seg BCE (reference forward_train, mask_rcnn_part.py:35-101 and
         roi_head_partial.py:12-101).
 
         batch keys: gt_boxes (B,G,4), gt_labels (B,G), gt_valid (B,G),
         gt_patches (B,G,M,M), gt_semantic (B,H/4,W/4) int,
-        gt_ismask (B,G) ∈ {0,1} (optional; default all-1)."""
+        gt_ismask (B,G) ∈ {0,1} (optional; default all-1).
+
+        ``cum_samples`` is accepted for driver compatibility (NuHTC's seesaw
+        counters — unused here, passed through unchanged): when given, the
+        return is ``(losses, cum_samples)`` matching make_train_step's
+        contract; otherwise just ``losses``."""
         from nuhtc_tpu.ops.anchors import grid_anchors
         from nuhtc_tpu.train import targets as T
         from nuhtc_tpu.models import losses as L
@@ -370,4 +379,6 @@ class MaskRCNN(nn.Module):
             losses["loss_mid_seg"] = jnp.mean(L.sigmoid_ce(mid, sem_full))
 
         losses["total"] = sum(losses.values())
+        if cum_samples is not None:
+            return losses, cum_samples
         return losses

@@ -84,10 +84,14 @@ class MultiStreamDetector:
             student_params, unsup_img, unsup_batch, cum,
             method="compute_losses", rngs=rngs,
         )
-        total = sup_losses["total"] + unsup_weight * (
-            unsup_losses["s0.loss_cls"] + unsup_losses["s0.loss_obj"]
-            + unsup_losses["s0.loss_bbox"] + unsup_losses["loss_rpn_cls"]
-            + unsup_losses["loss_rpn_bbox"]
+        # unsupervised weighting covers the cls/bbox/RPN terms; key names
+        # differ between NuHTC ("s0.loss_*") and MaskRCNN ("loss_*") — sum
+        # whichever are present
+        zero = sup_losses["total"] * 0.0
+        unsup_keys = ("s0.loss_cls", "s0.loss_obj", "s0.loss_bbox",
+                      "loss_cls", "loss_bbox", "loss_rpn_cls", "loss_rpn_bbox")
+        total = sup_losses["total"] + unsup_weight * sum(
+            (unsup_losses.get(k, zero) for k in unsup_keys), zero
         )
         out = {f"sup.{k}": v for k, v in sup_losses.items()}
         out.update({f"unsup.{k}": v for k, v in unsup_losses.items()})

@@ -62,25 +62,18 @@ def _sweep_min(v: jnp.ndarray, allowed: jnp.ndarray, axis: int, rev: bool, big) 
     """Segmented MIN scan (Hillis-Steele doubling) along one direction: after
     the sweep each pixel holds the min of v over its contiguous ``allowed``
     run up to itself. log2(n) shift steps — covers whole straight runs at
-    once, vs one pixel per step for 4-neighbor propagation."""
+    once, vs one pixel per step for 4-neighbor propagation. (The OR variant
+    for flood fill lives in morphology._sweep_or; they share _shift_bool.)"""
+    from nuhtc_tpu.ops.morphology import _shift_bool
+
     n = v.shape[axis]
-    run = allowed & _shift_bool_c(allowed, 1, axis, rev)
+    run = allowed & _shift_bool(allowed, 1, axis, rev)
     k = 1
     while k < n:
         v = jnp.minimum(v, jnp.where(run, _shift_i32(v, k, axis, rev, big), big))
-        run = run & _shift_bool_c(run, k, axis, rev)
+        run = run & _shift_bool(run, k, axis, rev)
         k *= 2
     return v
-
-
-def _shift_bool_c(x, k, axis, rev):
-    if axis == 0:
-        if rev:
-            return jnp.pad(x[k:, :], ((0, k), (0, 0)))
-        return jnp.pad(x[:-k, :], ((k, 0), (0, 0)))
-    if rev:
-        return jnp.pad(x[:, k:], ((0, 0), (0, k)))
-    return jnp.pad(x[:, :-k], ((0, 0), (k, 0)))
 
 
 def label_components_raw(

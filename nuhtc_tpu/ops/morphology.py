@@ -83,15 +83,6 @@ def binary_close(mask: jnp.ndarray, ksize: int = 5, iterations: int = 1) -> jnp.
     return binary_erosion(binary_dilation(mask, ksize, iterations), ksize, iterations)
 
 
-def _dilate4(x: jnp.ndarray) -> jnp.ndarray:
-    """One step of 4-connected binary dilation. x: (H, W) bool."""
-    up = jnp.pad(x[1:, :], ((0, 1), (0, 0)))
-    down = jnp.pad(x[:-1, :], ((1, 0), (0, 0)))
-    left = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
-    right = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
-    return x | up | down | left | right
-
-
 def _shift_bool(x: jnp.ndarray, k: int, axis: int, rev: bool) -> jnp.ndarray:
     """x'[i] = x[i-k] (or x[i+k] if rev) along ``axis``, False-filled."""
     if axis == 0:

@@ -218,8 +218,10 @@ def watershed_proposals_from_dist(
     inst = watershed(-dist, markers, mask)
 
     # box extraction: watershed labels are (marker-root linear index + 1);
-    # marker roots come from the raw marker label map (two-stage top-k)
-    roots, valid = first_roots(raw, marker_mask, max_components)
+    # marker roots come from the raw marker label map. row_cap=None: markers
+    # are raw dist>thr pixels (no morphological opening), so the per-row root
+    # bound that makes the two-stage top-k exact does not hold here
+    roots, valid = first_roots(raw, marker_mask, max_components, row_cap=None)
     boxes, areas = boxes_from_roots(inst, jnp.where(valid, roots + 1, -1))
 
     max_area = h * w / 4

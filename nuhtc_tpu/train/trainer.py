@@ -163,7 +163,16 @@ class Trainer:
                 avail[name] = getattr(state, field)
         wanted = self.cfg.get("evaluated_modules")
         if wanted:
-            return {n: avail[n] for n in wanted if n in avail}
+            sel = {n: avail[n] for n in wanted if n in avail}
+            missing = [n for n in wanted if n not in avail]
+            if missing:
+                self.logger.warning(
+                    f"evaluated_modules {missing} not on this train state "
+                    f"(available: {sorted(avail)}); "
+                    + ("evaluating the rest" if sel else "falling back to defaults")
+                )
+            if sel:
+                return sel
         if "teacher" in avail:  # semi runs evaluate both streams by default
             return {"teacher": avail["teacher"], "student": avail["student"]}
         return {"ema": avail.get("ema", avail.get("raw"))}

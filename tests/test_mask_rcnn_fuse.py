@@ -122,3 +122,36 @@ def test_nuhtc_fuse_test_shapes():
     v = np.asarray(out["fuse_valid"])
     if v.any():
         assert (b5[v][:, 4] == np.float32(0.36)).all()
+
+
+def test_build_detector_dispatches_maskrcnn():
+    """configs with type='MaskRCNN' must construct MaskRCNN (not NuHTC) with
+    their kwargs applied (regression: type was silently ignored)."""
+    from nuhtc_tpu.models.build import build_detector
+
+    m = build_detector(
+        dict(type="MaskRCNN", num_classes=8, fpn_channels=32, with_mid_seg=True,
+             rcnn_score_thr=0.05, rcnn_max_per_img=100, unknown_key=1)
+    )
+    assert isinstance(m, MaskRCNN)
+    assert m.num_classes == 8 and m.fpn_channels == 32 and m.with_mid_seg
+    assert m.mask_thr_binary == 0.5
+
+
+def test_maskrcnn_losses_cum_passthrough(tiny_maskrcnn):
+    """compute_losses with cum_samples returns (losses, cum) — the
+    make_train_step contract."""
+    import jax.numpy as jnp2
+
+    model, params = tiny_maskrcnn
+    img = jnp.asarray(np.random.RandomState(6).randn(1, 64, 64, 3).astype(np.float32))
+    batch = _tiny_batch(b=1)
+    cum = jnp2.zeros((3, 4))
+    losses, cum_out = jax.jit(
+        lambda p, x, b, c: model.apply(
+            p, x, b, c, method="compute_losses",
+            rngs={"sampling": jax.random.PRNGKey(7), "dropout": jax.random.PRNGKey(70)},
+        )
+    )(params, img, batch, cum)
+    assert np.isfinite(float(losses["total"]))
+    np.testing.assert_array_equal(np.asarray(cum_out), np.asarray(cum))

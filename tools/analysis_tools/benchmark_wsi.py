@@ -51,8 +51,10 @@ def main():
     blob = ((yy - 32) ** 2 + (xx - 32) ** 2 <= 150).astype(np.uint8)
     for _ in range(args.tiles * 20):
         y, x = rng.randint(0, hw[0] - 64), rng.randint(0, hw[1] - 64)
-        img[y : y + 64, x : x + 64, 0] -= 60 * blob
-        img[y : y + 64, x : x + 64, 2] -= 30 * blob
+        reg = img[y : y + 64, x : x + 64].astype(np.int16)
+        reg[..., 0] -= 60 * blob
+        reg[..., 2] -= 30 * blob
+        img[y : y + 64, x : x + 64] = np.clip(reg, 0, 255).astype(np.uint8)
 
     with tempfile.TemporaryDirectory() as td:
         import cv2

@@ -70,9 +70,11 @@ def _save_consep_mats(inst_maps, data_dir, data_name):
 
     os.makedirs(f"{data_dir}/mat/{data_name}", exist_ok=True)
     for idx, inst in enumerate(inst_maps):
+        # note: the reference writes range(1, max) which drops the last uid —
+        # we write the full 1..max list
         sio.savemat(
             f"{data_dir}/mat/{data_name}/{data_name}_{idx + 1}.mat",
-            {"inst_map": inst, "inst_uid": np.arange(1, int(inst.max()))},
+            {"inst_map": inst, "inst_uid": np.arange(1, int(inst.max()) + 1)},
         )
 
 
