@@ -81,7 +81,9 @@ class Trainer:
             iters_per_epoch=self.iters_per_epoch,
         )
         state, tx = create_train_state(
-            model, params, num_stages=model.num_stages, num_classes=model.num_classes,
+            model, params,
+            num_stages=getattr(model, "num_stages", 1),  # MaskRCNN has one stage
+            num_classes=model.num_classes,
             schedule=schedule,
         )
         train_step = make_train_step(
