@@ -106,6 +106,7 @@ class WindowAttention(nn.Module):
             return window_attention_fused(
                 fused_map, wqkv, bqkv, wproj, bproj, bias49,
                 ws=ws, num_heads=self.num_heads, shift=shift,
+                qk_scale=self.qk_scale,
             )
 
         b, n, c = x.shape

@@ -170,6 +170,7 @@ def watershed_segmentation(
         if dist is None:
             raw = label_components_raw(mask)
             inst = jnp.where(mask, raw + 1, 0)
+            row_cap = 96  # exact: mask is 5x5-opened, root row pitch >= 6 px
         else:
             marker_mask = (dist > 0.25) & mask
             raw = label_components_raw(marker_mask)
@@ -177,8 +178,9 @@ def watershed_segmentation(
             inst = watershed(-dist, markers, mask)
             raw = jnp.where(inst > 0, inst - 1, n)
             mask = inst > 0
+            row_cap = None  # markers are UNopened; per-row root bound fails
 
-        roots, valid = first_roots(raw, mask, max_instances)
+        roots, valid = first_roots(raw, mask, max_instances, row_cap=row_cap)
         boxes, areas = boxes_from_roots(raw, roots)
         valid = valid & (areas > min_area) & (areas < max_area)
         boxes5 = jnp.concatenate(

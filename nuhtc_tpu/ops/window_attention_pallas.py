@@ -69,10 +69,10 @@ def _static_tables(ws: int, wp: int, hp: int, shift: int):
     )
 
 
-def _make_kernel(ws, wp, c, nh, nb, shift):
+def _make_kernel(ws, wp, c, nh, nb, shift, qk_scale=None):
     t = ws * wp
     hd = c // nh
-    scale = hd**-0.5
+    scale = qk_scale if qk_scale is not None else hd**-0.5
 
     def kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, b49_ref,
                p_ref, pt_ref, pen_ref, rowpen_ref, o_ref):
@@ -120,7 +120,7 @@ def _make_kernel(ws, wp, c, nh, nb, shift):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("ws", "num_heads", "shift", "interpret"))
+@partial(jax.jit, static_argnames=("ws", "num_heads", "shift", "qk_scale", "interpret"))
 def window_attention_fused(
     xp: jnp.ndarray,  # (B, Hp, Wp, C) — padded (and pre-rolled if shifted)
     wqkv: jnp.ndarray,  # (C, 3C)
@@ -131,6 +131,7 @@ def window_attention_fused(
     ws: int,
     num_heads: int,
     shift: int,
+    qk_scale: float | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused windowed MSA over the padded feature map. Returns (B, Hp, Wp, C)."""
@@ -142,7 +143,7 @@ def window_attention_fused(
 
     dtype = xp.dtype
     x2 = xp.reshape(b, nb, t, c)
-    kern = _make_kernel(ws, wp, c, num_heads, nb, shift)
+    kern = _make_kernel(ws, wp, c, num_heads, nb, shift, qk_scale)
 
     out = pl.pallas_call(
         kern,

@@ -44,13 +44,26 @@ def raster_iou(p1: np.ndarray, p2: np.ndarray) -> float:
     x1, y1 = min(b1[0], b2[0]), min(b1[1], b2[1])
     x2, y2 = max(b1[2], b2[2]), max(b1[3], b2[3])
     w, h = int(np.ceil(x2 - x1)) + 3, int(np.ceil(y2 - y1)) + 3
-    if w <= 0 or h <= 0 or w * h > 4_000_000:
+    if w <= 0 or h <= 0:
         return 0.0
+    scale = 1.0
+    if w * h > 4_000_000:
+        # Giant joint bbox (merged mega-regions): rasterize at reduced
+        # resolution instead of silently reporting IoU 0 (which would make
+        # huge regions never merge — the reference shapely path has no cap).
+        scale = (4_000_000 / (w * h)) ** 0.5
+        w, h = max(int(w * scale), 1), max(int(h * scale), 1)
+        import logging
+
+        logging.getLogger("nuhtc_tpu").debug(
+            "raster_iou: joint bbox %dx%d px exceeds 4M budget; "
+            "rasterizing at scale %.3f", int(np.ceil(x2 - x1)), int(np.ceil(y2 - y1)), scale,
+        )
     off = np.asarray([x1 - 1, y1 - 1])
     m1 = np.zeros((h, w), np.uint8)
     m2 = np.zeros((h, w), np.uint8)
-    cv2.fillPoly(m1, [np.round(p1 - off).astype(np.int32)], 1)
-    cv2.fillPoly(m2, [np.round(p2 - off).astype(np.int32)], 1)
+    cv2.fillPoly(m1, [np.round((p1 - off) * scale).astype(np.int32)], 1)
+    cv2.fillPoly(m2, [np.round((p2 - off) * scale).astype(np.int32)], 1)
     inter = int(np.logical_and(m1, m2).sum())
     union = int(np.logical_or(m1, m2).sum())
     return inter / union if union else 0.0

@@ -89,10 +89,17 @@ def pannuke2consep(data: np.ndarray, data_dir: str, data_name: str):
 def _load_consep_dir(file_path):
     import scipy.io as sio
 
-    paths = sorted(
-        glob.glob(os.path.join(file_path, "*mat")),
-        key=lambda x: int(os.path.splitext(os.path.basename(x))[0]),
-    )
+    def _order(path):
+        # Numeric sort on the trailing integer so '{name}_{idx}.mat' files
+        # (our own _save_consep_mats layout) round-trip; pure-numeric stems
+        # ('3.mat') sort the same as the reference. Lexical fallback.
+        import re
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        m = re.search(r"(\d+)$", stem)
+        return (0, int(m.group(1)), stem) if m else (1, 0, stem)
+
+    paths = sorted(glob.glob(os.path.join(file_path, "*mat")), key=_order)
     return [sio.loadmat(p) for p in paths]
 
 
