@@ -29,7 +29,15 @@ semi_wrapper = dict(
     score_thr=0.9,  # pseudo_label_initial_score_thr progression start
     max_gt=128,
     unsup_weight=2.0,
+    burn_in=2000,  # sup-only steps before the unsup branch engages
+    warm_up=100,  # MeanTeacher momentum warmup (reference mean_teacher.py:46)
 )
+
+# sup:unsup mix per batch (DistributedGroupSemiBalanceSampler analog)
+sup_ratio = 0.5
+# student strong-view photometric pipeline (teacher sees the weak view);
+# default PhotoMetricDistortion when unset
+unsup_strong_pipeline = [dict(type="PhotoMetricDistortion")]
 
 # MeanTeacher EMA (reference mean_teacher.py hook; momentum 0.999)
 ema = dict(momentum=0.001)

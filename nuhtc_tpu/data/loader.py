@@ -122,11 +122,23 @@ def collate_train(samples: List[dict], max_gt: int = 160, sem_stride: int = 4) -
             gt_boxes[i, :n] = s["gt_bboxes"][:n]
             gt_labels[i, :n] = s["gt_labels"][:n]
             gt_valid[i, :n] = True
-            gt_patches[i, :n] = instance_patches(s["gt_masks"][:n], s["gt_bboxes"][:n])
-            if "ismask" in s:
+            # box-only annotations (NuCLS partial supervision) may carry
+            # fewer masks than boxes — missing patches stay zero and are
+            # flagged maskless so they contribute no mask loss
+            nm = min(len(s["gt_masks"]), n)
+            if nm:
+                gt_patches[i, :nm] = instance_patches(s["gt_masks"][:nm], s["gt_bboxes"][:nm])
+            if s.get("ismask") is not None:
                 gt_ismask[i, :n] = s["ismask"][:n]
+            elif nm < n:
+                gt_ismask[i, nm:n] = 0.0
         seg = s.get("gt_semantic_seg")
         if seg is not None:
+            th, tw = h // sem_stride, w // sem_stride
+            if seg.shape[0] > th or seg.shape[1] > tw:
+                # pipeline had no SegRescale — downsample to the target stride
+                seg = cv2.resize(seg.astype(np.uint8), (tw, th),
+                                 interpolation=cv2.INTER_NEAREST)
             sh, sw = seg.shape
             gt_sem[i, :sh, :sw] = seg
     return dict(
@@ -138,6 +150,122 @@ def collate_train(samples: List[dict], max_gt: int = 160, sem_stride: int = 4) -
         gt_ismask=gt_ismask,
         gt_semantic=gt_sem,
     )
+
+
+class SemiPrefetchLoader:
+    """Threaded loader for teacher/student semi-supervised training
+    (reference DistributedGroupSemiBalanceSampler + MultiBranch
+    unsup_teacher/unsup_student pipelines, configs/nuhtc/base.py:180-222).
+
+    Each batch carries ``sup_ratio`` supervised samples (full
+    ``collate_train`` targets) plus unsupervised images in two aligned
+    views: ``unsup_img_teacher`` (weak — geometric-only pipeline) and
+    ``unsup_img`` (strong — the weak view pushed through an extra
+    photometric-only pipeline, so pseudo boxes from the teacher view are
+    valid on the student view without any transform matrix bookkeeping).
+    """
+
+    def __init__(
+        self,
+        semi_dataset,
+        pipeline,
+        strong_pipeline=None,
+        batch_size: int = 8,
+        sup_ratio: float = 0.5,
+        max_gt: int = 160,
+        seed: int = 0,
+        num_threads: int = 2,
+        prefetch: int = 4,
+    ):
+        from nuhtc_tpu.data.pipelines import PhotoMetricDistortion
+
+        self.sup = semi_dataset.sup
+        self.unsup = semi_dataset.unsup or semi_dataset.sup
+        self.pipeline = pipeline
+        self.strong = (
+            strong_pipeline if strong_pipeline is not None else [PhotoMetricDistortion()]
+        )
+        self.batch_size = max(int(round(batch_size * sup_ratio)), 1)  # sup part
+        self.n_unsup = max(batch_size - self.batch_size, 1)
+        self.max_gt = max_gt
+        self.seed = seed
+        self.num_threads = num_threads
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+        self._counter = 0
+        self._lock = threading.Lock()
+        self._err: Optional[BaseException] = None
+
+    def _next_seed(self):
+        with self._lock:
+            s = self._counter
+            self._counter += 1
+        return s
+
+    def _unsup_views(self, idx: int, hs: int, ws: int, rng) -> tuple:
+        """Load one unsup image → (weak, strong) views at (hs, ws)."""
+        img = self.unsup.load_image(idx).astype(np.float32)
+        h, w = img.shape[:2]
+        if (h, w) != (hs, ws):
+            if h >= hs and w >= ws:  # random crop
+                y0 = rng.randint(h - hs + 1)
+                x0 = rng.randint(w - ws + 1)
+                img = img[y0 : y0 + hs, x0 : x0 + ws]
+            else:
+                img = cv2.resize(img, (ws, hs), interpolation=cv2.INTER_LINEAR)
+        weak = img
+        res = dict(img=weak.copy(), gt_bboxes=np.zeros((0, 4), np.float32),
+                   gt_labels=np.zeros((0,), np.int64))
+        strong = run_pipeline(self.strong, res, rng)["img"]
+        return weak, strong
+
+    def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:  # surface worker crashes to the consumer
+            self._err = e
+            self._stop.set()
+
+    def _worker_loop(self):
+        while not self._stop.is_set():
+            rng = np.random.RandomState(self.seed + self._next_seed())
+            sup_samples = [
+                prepare_train_sample(self.sup, rng.randint(len(self.sup)), self.pipeline, rng)
+                for _ in range(self.batch_size)
+            ]
+            batch = collate_train(sup_samples, max_gt=self.max_gt)
+            hs, ws = batch["img"].shape[1:3]
+            weak = np.zeros((self.n_unsup, hs, ws, 3), np.float32)
+            strong = np.zeros((self.n_unsup, hs, ws, 3), np.float32)
+            for i in range(self.n_unsup):
+                weak[i], strong[i] = self._unsup_views(
+                    rng.randint(len(self.unsup)), hs, ws, rng
+                )
+            batch["unsup_img"] = strong
+            batch["unsup_img_teacher"] = weak
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if not self._threads:
+            for _ in range(self.num_threads):
+                t = threading.Thread(target=self._worker, daemon=True)
+                t.start()
+                self._threads.append(t)
+        while True:
+            try:
+                yield self._q.get(timeout=1.0)
+            except queue.Empty:
+                if self._err is not None:
+                    raise RuntimeError("SemiPrefetchLoader worker crashed") from self._err
+
+    def close(self):
+        self._stop.set()
 
 
 class PrefetchLoader:
@@ -169,6 +297,7 @@ class PrefetchLoader:
         self._threads: List[threading.Thread] = []
         self._counter = 0
         self._lock = threading.Lock()
+        self._err: Optional[BaseException] = None
 
     def _next_seed(self):
         with self._lock:
@@ -177,6 +306,13 @@ class PrefetchLoader:
         return s
 
     def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:  # surface worker crashes to the consumer
+            self._err = e
+            self._stop.set()
+
+    def _worker_loop(self):
         inner = self.dataset.dataset if isinstance(self.dataset, CASDataset) else self.dataset
         while not self._stop.is_set():
             rng = np.random.RandomState(self.seed + self._next_seed())
@@ -202,7 +338,11 @@ class PrefetchLoader:
                 t.start()
                 self._threads.append(t)
         while True:
-            yield self._q.get()
+            try:
+                yield self._q.get(timeout=1.0)
+            except queue.Empty:
+                if self._err is not None:
+                    raise RuntimeError("PrefetchLoader worker crashed") from self._err
 
     def close(self):
         self._stop.set()

@@ -69,12 +69,21 @@ class MultiStreamDetector:
         cum_samples,
         unsup_weight: float = 1.0,
         rngs=None,
+        unsup_img_teacher=None,
     ):
+        """``unsup_img`` is the student (strong-aug) branch; pseudo labels
+        come from ``unsup_img_teacher`` (weak aug) when given — the reference
+        MultiBranch unsup_teacher/unsup_student split (configs/nuhtc/
+        base.py:180-186). The two branches must be geometrically aligned
+        (photometric-only divergence), which our MultiBranch pipeline
+        guarantees by sharing the geometric ops across branches."""
         sup_losses, cum = self.model.apply(
             student_params, sup_batch["img"], sup_batch, cum_samples,
             method="compute_losses", rngs=rngs,
         )
-        pseudo = self.pseudo_label(teacher_params, unsup_img)
+        pseudo = self.pseudo_label(
+            teacher_params, unsup_img if unsup_img_teacher is None else unsup_img_teacher
+        )
         # pseudo batch reuses the supervised mask/semantic targets as empty
         b, g = pseudo["gt_labels"].shape
         patch = jnp.zeros((b, g, 64, 64), jnp.float32)

@@ -32,6 +32,18 @@ class TrainState(NamedTuple):
     cum_samples: jnp.ndarray  # (num_stages, num_classes)
 
 
+class SemiTrainState(NamedTuple):
+    """Teacher/student state for semi-supervised training (the reference's
+    MultiSteamDetector + MeanTeacher hook pair, nuhtc/models/
+    multi_stream_detector.py:5 + nuhtc/utils/hooks/mean_teacher.py:8)."""
+
+    step: jnp.ndarray
+    student_params: Any
+    teacher_params: Any
+    opt_state: Any
+    cum_samples: jnp.ndarray  # (num_stages, num_classes)
+
+
 def lr_schedule(
     base_lr: float = 1e-4,
     warmup_iters: int = 1000,
@@ -102,10 +114,15 @@ def create_train_state(model, params, num_stages: int = 3, num_classes: int = 5,
     )
 
 
-def make_train_step(model, tx, ema_momentum: float = 2e-4, finetune_iter: int = 15000):
-    """Returns train_step(state, batch, rng) → (state, metrics). jit/pjit-able."""
+def make_train_step(model, tx, ema_momentum: float = 2e-4, finetune_iter: int = 15000,
+                    weighter=None):
+    """Returns train_step(state, batch, rng) → (state, metrics). jit/pjit-able.
 
-    def loss_fn(params, batch, rng, cum_samples):
+    ``weighter``: optional ``(losses_dict, step) -> losses_dict`` applied
+    inside the differentiated loss (the reference Weighter hook,
+    nuhtc/utils/hooks/weight_adjust.py:7 — scheduled loss re-weighting)."""
+
+    def loss_fn(params, batch, rng, cum_samples, step):
         losses, new_cum = model.apply(
             params,
             batch["img"],
@@ -115,12 +132,14 @@ def make_train_step(model, tx, ema_momentum: float = 2e-4, finetune_iter: int = 
             method="compute_losses",
             rngs={"sampling": rng, "dropout": jax.random.fold_in(rng, 1)},
         )
+        if weighter is not None:
+            losses = weighter(losses, step)
         return losses["total"], (losses, new_cum)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
         (total, (losses, new_cum)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, state.cum_samples
+            state.params, batch, rng, state.cum_samples, state.step
         )
         fmask = frozen_mask(state.params)
         grads = jax.tree.map(
@@ -141,6 +160,97 @@ def make_train_step(model, tx, ema_momentum: float = 2e-4, finetune_iter: int = 
         )
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def create_semi_train_state(model, params, num_stages: int = 1, num_classes: int = 5,
+                            schedule=None) -> Tuple[SemiTrainState, Any]:
+    """Teacher starts as a clone of the student (reference MeanTeacher
+    before_run: momentum_update(model, 0) at iter 0)."""
+    schedule = schedule or lr_schedule()
+    tx = create_optimizer(schedule)
+    opt_state = tx.init(params)
+    return (
+        SemiTrainState(
+            step=jnp.zeros((), jnp.int32),
+            student_params=params,
+            teacher_params=jax.tree.map(lambda x: x, params),
+            opt_state=opt_state,
+            cum_samples=jnp.zeros((num_stages, num_classes), jnp.float32),
+        ),
+        tx,
+    )
+
+
+def make_semi_train_step(
+    wrapper,
+    tx,
+    teacher_momentum: float = 0.999,
+    teacher_warmup: int = 100,
+    unsup_weight: float = 1.0,
+    burn_in: int = 0,
+    finetune_iter: int = 15000,
+):
+    """Semi-supervised train step over a MultiStreamDetector wrapper.
+
+    Semantics follow the reference hooks (mean_teacher.py:37-65):
+    per-iter teacher EMA with warmed-up momentum
+    ``min(m, 1 - (1 + warmup)/(step + 1 + warmup))``; the unsupervised
+    loss branch is weighted 0 during burn-in (steps < burn_in) so the
+    teacher sees only supervised gradients early on.
+
+    Batch keys: the supervised keys of ``compute_losses`` plus
+    ``unsup_img`` (strong aug, student) and optionally
+    ``unsup_img_teacher`` (weak aug, pseudo-label source — reference
+    MultiBranch unsup_teacher/unsup_student split, base.py:180-186).
+    """
+
+    def loss_fn(student_params, teacher_params, batch, rng, cum_samples, uw):
+        losses, new_cum = wrapper.semi_loss(
+            student_params,
+            teacher_params,
+            batch,
+            batch["unsup_img"],
+            cum_samples,
+            unsup_weight=uw,
+            rngs={"sampling": rng, "dropout": jax.random.fold_in(rng, 1)},
+            unsup_img_teacher=batch.get("unsup_img_teacher"),
+        )
+        return losses["total"], (losses, new_cum)
+
+    def train_step(state: SemiTrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+        uw = jnp.where(state.step < burn_in, 0.0, unsup_weight)
+        (total, (losses, new_cum)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.student_params, state.teacher_params, batch, rng, state.cum_samples, uw
+        )
+        fmask = frozen_mask(state.student_params)
+        grads = jax.tree.map(
+            lambda g, f: jnp.where((state.step < finetune_iter) & f, 0.0, g),
+            grads,
+            fmask,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.student_params)
+        student = optax.apply_updates(state.student_params, updates)
+        m = jnp.minimum(
+            teacher_momentum,
+            1.0 - (1.0 + teacher_warmup) / (state.step.astype(jnp.float32) + 1.0 + teacher_warmup),
+        )
+        teacher = jax.tree.map(
+            lambda t, s: m * t + (1.0 - m) * s, state.teacher_params, student
+        )
+        new_state = SemiTrainState(
+            step=state.step + 1,
+            student_params=student,
+            teacher_params=teacher,
+            opt_state=opt_state,
+            cum_samples=new_cum,
+        )
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["ema_momentum"] = m
         return new_state, metrics
 
     return train_step

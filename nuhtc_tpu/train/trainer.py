@@ -56,11 +56,14 @@ class Trainer:
         from nuhtc_tpu.parallel.mesh import make_mesh, shard_batch, replicate
         from nuhtc_tpu.train.train_state import (
             TrainState,
+            create_semi_train_state,
             create_train_state,
             lr_schedule,
+            make_semi_train_step,
             make_train_step,
         )
         from nuhtc_tpu.utils import checkpoint as ckpt
+        from nuhtc_tpu.utils.hooks import WeightSummary, build_weighter
 
         model = self.model
         mesh = make_mesh()
@@ -71,8 +74,11 @@ class Trainer:
         batch0 = next(iter(loader))
         img0 = jnp.zeros((1,) + batch0["img"].shape[1:], jnp.float32)
         params = model.init(jax.random.PRNGKey(self.seed), img0, method="init_forward")
-        n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
-        self.logger.info(f"params: {n_params / 1e6:.2f}M")  # WeightSummary analog
+        if self.cfg.get("weight_summary", True):
+            WeightSummary()(params, self.logger)  # reference weights_summary.py:62
+        else:
+            n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+            self.logger.info(f"params: {n_params / 1e6:.2f}M")
 
         schedule = lr_schedule(
             base_lr=self.cfg.get("optimizer", {}).get("lr", 1e-4),
@@ -80,17 +86,60 @@ class Trainer:
             step_epochs=tuple(self.cfg.get("lr_config", {}).get("step", [30, 160])),
             iters_per_epoch=self.iters_per_epoch,
         )
-        state, tx = create_train_state(
-            model, params,
-            num_stages=getattr(model, "num_stages", 1),  # MaskRCNN has one stage
-            num_classes=model.num_classes,
-            schedule=schedule,
-        )
-        train_step = make_train_step(
-            model, tx,
-            ema_momentum=self.cfg.get("ema", {}).get("momentum", 2e-4),
-            finetune_iter=self.cfg.get("finetune_iter", 15000),
-        )
+        # scheduled loss re-weighting (reference Weighter hook,
+        # nuhtc/utils/hooks/weight_adjust.py:7) — applied inside the jit
+        # loss so it shapes gradients, not just the logged numbers
+        weighter = build_weighter(self.cfg.get("loss_weight_schedules"))
+
+        # reference-style custom_hooks entries map onto our flat cfg keys
+        # (config :395-401: LinearMomentumEMAHook momentum, FineTune iter)
+        ema_momentum = self.cfg.get("ema", {}).get("momentum")
+        finetune_iter = self.cfg.get("finetune_iter")
+        for hk in self.cfg.get("custom_hooks") or []:
+            t = str(hk.get("type", ""))
+            if t == "LinearMomentumEMAHook" and ema_momentum is None:
+                ema_momentum = hk.get("momentum")
+            if t == "FineTune" and finetune_iter is None:
+                finetune_iter = hk.get("iter")
+        if finetune_iter is None:
+            finetune_iter = 15000
+
+        semi_cfg = self.cfg.get("semi_wrapper")
+        if semi_cfg:
+            from nuhtc_tpu.models.semi import MultiStreamDetector
+
+            wrapper = MultiStreamDetector(
+                model,
+                score_thr=semi_cfg.get("score_thr", 0.9),
+                max_gt=semi_cfg.get("max_gt", 128),
+            )
+            state, tx = create_semi_train_state(
+                model, params,
+                num_stages=getattr(model, "num_stages", 1),
+                num_classes=model.num_classes,
+                schedule=schedule,
+            )
+            train_step = make_semi_train_step(
+                wrapper, tx,
+                teacher_momentum=1.0 - (1e-3 if ema_momentum is None else ema_momentum),
+                teacher_warmup=semi_cfg.get("warm_up", 100),
+                unsup_weight=semi_cfg.get("unsup_weight", 1.0),
+                burn_in=semi_cfg.get("burn_in", 0),
+                finetune_iter=finetune_iter,
+            )
+        else:
+            state, tx = create_train_state(
+                model, params,
+                num_stages=getattr(model, "num_stages", 1),  # MaskRCNN has one stage
+                num_classes=model.num_classes,
+                schedule=schedule,
+            )
+            train_step = make_train_step(
+                model, tx,
+                ema_momentum=2e-4 if ema_momentum is None else ema_momentum,
+                finetune_iter=finetune_iter,
+                weighter=weighter,
+            )
 
         ckpt_dir = os.path.join(os.path.abspath(self.work_dir), "checkpoints")
         start_epoch = 0
@@ -114,6 +163,30 @@ class Trainer:
             # NOTE: buffer donation is rejected by the axon TPU backend
         )
 
+        # periodic prediction-overlay rendering (reference MaskVisHook,
+        # nuhtc/utils/hooks/mask_vis_hook.py:187). Configured either via a
+        # ``mask_vis`` dict or a reference-style ``custom_hooks`` entry
+        # (dict(type='Mask_Vis_Hook', interval=N), reference config :395-401)
+        vis_hook = None
+        vis_cfg = self.cfg.get("mask_vis")
+        if vis_cfg is None:
+            for h in self.cfg.get("custom_hooks") or []:
+                if str(h.get("type", "")).lower().replace("_", "") == "maskvishook":
+                    vis_cfg = {k: v for k, v in h.items() if k != "type"}
+        if vis_cfg and test_dataset is not None:
+            from nuhtc_tpu.apis.inference import InferenceEngine
+            from nuhtc_tpu.utils.hooks import MaskVisHook
+            from nuhtc_tpu.utils.logging import MetricLogger
+
+            self.metric_logger = MetricLogger(os.path.join(self.work_dir, "tf_logs"))
+            vis_hook = MaskVisHook(
+                lambda p: InferenceEngine(self.model, p, batch_size=2),
+                test_dataset,
+                self.metric_logger,
+                interval=vis_cfg.get("interval", 2000),
+                num_images=vis_cfg.get("num_images", 2),
+            )
+
         it = iter(loader)
         t_start = time.time()
         for epoch in range(start_epoch, self.max_epochs):
@@ -134,6 +207,13 @@ class Trainer:
                         json.dumps({"epoch": epoch + 1, "iter": i + 1, "lr": lr, **m}) + "\n"
                     )
                     self.json_log.flush()
+                if vis_hook is not None and gstep and gstep % vis_hook.interval == 0:
+                    try:
+                        trees = self._eval_submodules(state)
+                        name, p = next(iter(trees.items()))
+                        vis_hook.maybe_log(gstep, jax.device_get(p))
+                    except Exception as e:  # vis must not kill training
+                        self.logger.warning(f"mask_vis failed: {e}")
             if (epoch + 1) % self.checkpoint_interval == 0 or epoch + 1 == self.max_epochs:
                 host_state = jax.device_get(state)
                 ckpt.save_checkpoint(ckpt_dir, host_state, step=epoch + 1, keep=self.max_keep_ckpts)
@@ -165,8 +245,8 @@ class Trainer:
                 avail[name] = getattr(state, field)
         wanted = self.cfg.get("evaluated_modules")
         if wanted:
-            sel = {n: avail[n] for n in wanted if n in avail}
-            missing = [n for n in wanted if n not in avail]
+            sel = {n: avail[n] for n in wanted if avail.get(n) is not None}
+            missing = [n for n in wanted if avail.get(n) is None]
             if missing:
                 self.logger.warning(
                     f"evaluated_modules {missing} not on this train state "
@@ -177,7 +257,16 @@ class Trainer:
                 return sel
         if "teacher" in avail:  # semi runs evaluate both streams by default
             return {"teacher": avail["teacher"], "student": avail["student"]}
-        return {"ema": avail.get("ema", avail.get("raw"))}
+        default = avail.get("ema")
+        if default is None:  # ema field may exist but be disabled (None)
+            default = avail.get("raw")
+        if default is None:
+            self.logger.warning(
+                "no evaluable parameter tree on this train state "
+                f"(available fields: {sorted(avail)}); skipping eval"
+            )
+            return {}
+        return {"ema": default}
 
     def _evaluate(self, dataset, params, limit: int = 256, tag: str = "ema"):
         from nuhtc_tpu.apis.inference import InferenceEngine

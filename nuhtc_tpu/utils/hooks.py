@@ -62,7 +62,11 @@ class MaskVisHook:
 
 
 class Weighter:
-    """Scale named loss terms by a step schedule (reference Weighter hook)."""
+    """Scale named loss terms by a step schedule (reference Weighter hook).
+
+    jit-safe: schedules must be jnp-traceable (``step`` is a traced int32
+    inside the train step); the total is recomputed as the sum of all
+    non-"total" loss entries so the re-weighting shapes gradients."""
 
     def __init__(self, schedules: Dict[str, Callable[[int], float]]):
         self.schedules = schedules
@@ -72,5 +76,38 @@ class Weighter:
         for name, fn in self.schedules.items():
             if name in out:
                 out[name] = out[name] * fn(step)
-        out["total"] = sum(v for k, v in out.items() if k != "total" and k.endswith(("loss", "cls", "bbox", "obj", "mask", "seg")))
+        out["total"] = sum(v for k, v in out.items() if k != "total")
         return out
+
+
+def piecewise_schedule(boundaries, values):
+    """jnp-traceable piecewise-constant schedule: weight = values[i] for
+    step in [boundaries[i-1], boundaries[i]) (len(values) = len(boundaries)+1)."""
+    import jax.numpy as jnp
+
+    boundaries = list(boundaries)
+    values = list(values)
+    assert len(values) == len(boundaries) + 1
+
+    def fn(step):
+        w = jnp.float32(values[0])
+        for b, v in zip(boundaries, values[1:]):
+            w = jnp.where(step >= b, jnp.float32(v), w)
+        return w
+
+    return fn
+
+
+def build_weighter(cfg: Optional[Dict]) -> Optional[Weighter]:
+    """Config → Weighter. ``cfg`` maps loss names to either a constant or
+    ``dict(steps=[...], vals=[...])`` (piecewise-constant), e.g.
+    ``loss_weight_schedules = {"s2.loss_mask": dict(steps=[10000], vals=[0.5, 1.0])}``."""
+    if not cfg:
+        return None
+    schedules = {}
+    for name, spec in cfg.items():
+        if isinstance(spec, (int, float)):
+            schedules[name] = (lambda v: lambda step: v)(float(spec))
+        else:
+            schedules[name] = piecewise_schedule(spec["steps"], spec["vals"])
+    return Weighter(schedules)

@@ -23,7 +23,19 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--iters-per-epoch", type=int, default=None)
     ap.add_argument("--cfg-options", nargs="+", default=None)
+    ap.add_argument(
+        "--launcher", choices=["none", "jax"], default="none",
+        help="'jax' = multi-host DDP: jax.distributed.initialize before mesh "
+             "creation; each process feeds its local batch shard (reference "
+             "mmcv init_dist, tools/train.py:136)",
+    )
     args = ap.parse_args()
+
+    if args.launcher == "jax":
+        from nuhtc_tpu.parallel.mesh import init_distributed
+
+        nproc = init_distributed()
+        print(f"distributed: {nproc} processes")
 
     import jax.numpy as jnp
 
@@ -50,12 +62,37 @@ def main():
         except FileNotFoundError:
             pass
     pipeline = build_train_pipeline(cfg.get("train_pipeline", []))
-    loader = PrefetchLoader(
-        train_ds,
-        pipeline,
-        batch_size=cfg.get("samples_per_gpu", 8),
-        seed=args.seed,
+    from nuhtc_tpu.data.loader import SemiDataset, SemiPrefetchLoader
+
+    import jax
+
+    # per-process distinct sampling stream (DistributedSampler analog:
+    # samples_per_gpu is the LOCAL batch; shard_batch assembles the global)
+    loader_seed = args.seed + jax.process_index() * 100003
+
+    batch_size = cfg.get("samples_per_gpu", None) or cfg.get("data", {}).get(
+        "samples_per_gpu", 8
     )
+    if isinstance(train_ds, SemiDataset):
+        loader = SemiPrefetchLoader(
+            train_ds,
+            pipeline,
+            strong_pipeline=(
+                build_train_pipeline(cfg["unsup_strong_pipeline"])
+                if cfg.get("unsup_strong_pipeline")
+                else None
+            ),
+            batch_size=batch_size,
+            sup_ratio=cfg.get("sup_ratio", 0.5),
+            seed=loader_seed,
+        )
+    else:
+        loader = PrefetchLoader(
+            train_ds,
+            pipeline,
+            batch_size=batch_size,
+            seed=loader_seed,
+        )
 
     import jax
 
