@@ -32,11 +32,28 @@ def build_detector(model_cfg: Dict[str, Any], test_cfg: Dict[str, Any] | None = 
         cls = DETECTORS.get(mtype)
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in model_cfg.items() if k in fields}
+        # Reference-style nested test_cfg (rcnn score/nms/max_per_img) maps
+        # onto the flat dataclass fields so registry detectors honor it too.
+        tc = dict(test_cfg or model_cfg.get("test_cfg") or {})
+        rcnn_tc = dict(tc.get("rcnn") or {})
+        rcnn_nms = dict(rcnn_tc.get("nms") or {})
+        for field, val in (
+            ("rcnn_score_thr", rcnn_tc.get("score_thr")),
+            ("rcnn_nms_iou", rcnn_nms.get("iou_threshold")),
+            ("rcnn_max_per_img", rcnn_tc.get("max_per_img")),
+            ("mask_thr_binary", rcnn_tc.get("mask_thr_binary")),
+        ):
+            if field in fields and val is not None:
+                kwargs.setdefault(field, val)
         kwargs.setdefault("scale_factor", scale_factor)
         kwargs.setdefault("dtype", dtype)
-        dropped = set(model_cfg) - set(kwargs) - {"type"}
+        dropped = set(model_cfg) - set(kwargs) - {"type", "test_cfg"}
         if dropped:
-            print(f"[build_detector] {mtype}: ignoring config keys {sorted(dropped)}")
+            import logging
+
+            logging.getLogger("nuhtc_tpu").warning(
+                "build_detector %s: ignoring config keys %s", mtype, sorted(dropped)
+            )
         return cls(**kwargs)
     test_cfg = dict(test_cfg or model_cfg.get("test_cfg") or {})
     roi = dict(model_cfg.get("roi_head") or {})
@@ -63,11 +80,37 @@ def build_detector(model_cfg: Dict[str, Any], test_cfg: Dict[str, Any] | None = 
     rpn_nms = dict(rpn_test.get("nms") or {})
     rcnn_nms = dict(rcnn_test.get("nms") or {})
 
+    # RoI-head family dispatch (reference htc_roi_head_cus.py classes):
+    # *_Lite* → final-stage mask head only; *_Lite_Fuse adds the n-class seg
+    # branch; the plain _Cus head runs a mask head at every cascade stage
+    # with info-flow. An explicit roi_head.lite/lite_fuse key overrides.
+    roi_type = str(roi.get("type", "HybridTaskCascadeRoIHead_Lite"))
+    lite = bool(roi.get("lite", "Lite" in roi_type))
+    lite_fuse = bool(roi.get("lite_fuse", "Fuse" in roi_type))
+
+    # train_cfg.rcnn[*].sampler.type selects the cascade RoI sampler
+    # (reference nuhtc/datasets/samplers/: RandomSampler default,
+    # OHEMSampler_HTC, InstanceBalancedPosSampler_Cus)
+    rcnn_train = dict(model_cfg.get("train_cfg") or {}).get("rcnn") or []
+    if isinstance(rcnn_train, dict):
+        rcnn_train = [rcnn_train]
+    sampler_type = ""
+    for st in rcnn_train:
+        sampler_type = ((st or {}).get("sampler") or {}).get("type") or sampler_type
+    rcnn_sampler = (
+        "ohem" if "OHEM" in sampler_type
+        else "instance_balanced" if "InstanceBalanced" in sampler_type
+        else "random"
+    )
+
     return NuHTC(
         num_classes=num_classes,
         fpn_channels=neck.get("out_channels", 64),
         strides=strides,
         num_stages=roi.get("num_stages", 3),
+        lite=lite,
+        lite_fuse=lite_fuse,
+        rcnn_sampler=rcnn_sampler,
         attn_start_level=start_level,
         attn_thres=attn_thres,
         rpn_nms_pre=rpn_test.get("nms_pre", 3000),

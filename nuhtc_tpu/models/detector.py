@@ -78,10 +78,26 @@ class NuHTC(nn.Module):
     scale_factor: float = 2.0
     # candidate cap for multiclass NMS
     nms_candidates: int = 2048
+    # RoI sampler for the cascade stages (reference nuhtc/datasets/samplers/):
+    # "random" (RandomSampler, reference config default), "instance_balanced"
+    # (InstanceBalancedPosSampler_Cus), or "ohem" (OHEMSampler_HTC — samples a
+    # 2× random pool, forwards the bbox head once, keeps the hardest by
+    # current seesaw cls loss; the interleaved mask re-sample stays random)
+    rcnn_sampler: str = "random"
+    # exact=True: f32/HIGHEST RoI-op internals (CPU parity testing; the TPU
+    # path keeps the bf16 fast mode)
+    exact_rois: bool = False
     # _Lite_Fuse variant (reference htc_roi_head_cus.py:2919): adds an n-class
     # HTCSegBranch whose per-class watershed instances form the result
     lite_fuse: bool = False
     fuse_max_instances: int = 256
+    # lite=True → single mask head at the final stage only (reference
+    # HybridTaskCascadeRoIHead_Lite, htc_roi_head_cus.py:1875). lite=False →
+    # the full _Cus variant: a mask head per cascade stage with mask
+    # info-flow (conv_res chaining), trained at every stage and merged
+    # (sigmoid-averaged) at test (reference htc_roi_head_cus.py:142-234,
+    # 405-470, 607-662).
+    lite: bool = True
     backbone_cfg: Any = None
     dtype: Dtype = jnp.float32
 
@@ -105,13 +121,26 @@ class NuHTC(nn.Module):
             )
             for _ in range(self.num_stages)
         ]
-        self.mask_head = HTCMaskHead(
-            in_channels=self.fpn_channels,
-            conv_out_channels=self.fpn_channels,
-            num_classes=self.num_classes,
-            class_agnostic=True,
-            dtype=self.dtype,
-        )
+        if self.lite:
+            self.mask_head = HTCMaskHead(
+                in_channels=self.fpn_channels,
+                conv_out_channels=self.fpn_channels,
+                num_classes=self.num_classes,
+                class_agnostic=True,
+                dtype=self.dtype,
+            )
+        else:  # _Cus: one mask head per stage, info-flow between them
+            self.mask_heads = [
+                HTCMaskHead(
+                    in_channels=self.fpn_channels,
+                    conv_out_channels=self.fpn_channels,
+                    num_classes=self.num_classes,
+                    class_agnostic=True,
+                    with_conv_res=stage > 0,  # stage 0 has no incoming flow
+                    dtype=self.dtype,
+                )
+                for stage in range(self.num_stages)
+            ]
         if self.lite_fuse:
             from nuhtc_tpu.models.extra_heads import HTCSegBranch
 
@@ -139,7 +168,12 @@ class NuHTC(nn.Module):
             rf = jnp.zeros((2, 7, 7, self.fpn_channels), self.dtype)
             self.bbox_heads[stage](rf)
         mf = jnp.zeros((2, 14, 14, self.fpn_channels), self.dtype)
-        self.mask_head(mf, res_feat=None, return_logits=True, return_feat=False)
+        if self.lite:
+            self.mask_head(mf, res_feat=None, return_logits=True, return_feat=False)
+        else:
+            last = None
+            for stage in range(self.num_stages):
+                _, last = self.mask_heads[stage](mf, res_feat=last)
         if self.lite_fuse:
             self.seg_branch(img, semantic_feat)
         return None
@@ -158,11 +192,13 @@ class NuHTC(nn.Module):
                 strides=self.strides,
                 start_level=self.attn_start_level,
                 thres=self.attn_thres,
+                exact=self.exact_rois,
             )
             # exact fusion of adaptive_avg_pool2d(RoIAlign14, 7) — pool_from
             # doubles the adaptive sample grid instead of computing at 14²
             sem_rf = single_roi_features(
-                sem, r, output_size=7, stride=self.strides[0], pool_from=14
+                sem, r, output_size=7, stride=self.strides[0], pool_from=14,
+                exact=self.exact_rois,
             )
             rf = rf + sem_rf
             return rf
@@ -185,19 +221,38 @@ class NuHTC(nn.Module):
                 strides=self.strides,
                 start_level=self.attn_start_level,
                 thres=self.attn_thres,
+                exact=self.exact_rois,
             )
-            sem_rf = single_roi_features(sem, r, output_size=14, stride=self.strides[0])
+            sem_rf = single_roi_features(sem, r, output_size=14, stride=self.strides[0],
+                                         exact=self.exact_rois)
             return rf + sem_rf
 
         mask_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
         mask_feats = mask_feats.reshape(b * d, 14, 14, -1)
-        logits = self.mask_head(mask_feats, res_feat=None, return_logits=True, return_feat=False)
-        probs = jax.nn.sigmoid(logits[..., 0])
+        if self.lite:
+            logits = self.mask_head(
+                mask_feats, res_feat=None, return_logits=True, return_feat=False
+            )
+            probs = jax.nn.sigmoid(logits[..., 0])
+        else:
+            # _Cus test-time merge: each stage head runs on the SAME final
+            # mask feats with info-flow chaining; merge_aug_masks averages
+            # the per-stage sigmoids (reference htc_roi_head_cus.py:636-662)
+            last_feat = None
+            probs = 0.0
+            for stage in range(self.num_stages):
+                logits, last_feat = self.mask_heads[stage](mask_feats, res_feat=last_feat)
+                probs = probs + jax.nn.sigmoid(logits[..., 0])
+            probs = probs / float(self.num_stages)
         return probs.reshape(b, d, 28, 28)
 
     # ------------------------------------------------------------------ #
-    def __call__(self, img, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+    def __call__(self, img, deterministic: bool = True, bb_feats=None) -> Dict[str, jnp.ndarray]:
         """Batched inference. img: (B, H, W, 3) normalized, H/W static.
+
+        ``bb_feats``: optional precomputed backbone pyramid (bypasses the
+        Swin backbone — used by the composed torch-oracle parity test to
+        pin the post-backbone chain in isolation).
 
         Returns dict of padded detections:
           boxes (B, D, 4) in ORIGINAL-image coords (input / scale_factor),
@@ -207,7 +262,10 @@ class NuHTC(nn.Module):
         b, h, w, _ = img.shape
         img_shape = (h, w)
 
-        feats = self.extract_feats(img, deterministic=deterministic)
+        if bb_feats is not None:
+            feats = self.neck(bb_feats)
+        else:
+            feats = self.extract_feats(img, deterministic=deterministic)
 
         # --- RPN proposals ------------------------------------------------
         cls_scores, bbox_preds = self.rpn_head(feats)
@@ -417,25 +475,43 @@ class NuHTC(nn.Module):
         stage_cfg = ((0.5, 0.5, 0.5), (0.6, 0.6, 0.6), (0.7, 0.7, 0.7))
         stage_lw = (1.0, 0.5, 0.25)
         new_cum = []
-        final_rois = None
-        final_sample = None
 
+        sampler = self.rcnn_sampler
         for stage in range(self.num_stages):
             pos_thr, neg_thr, min_pos = stage_cfg[stage]
 
-            def assign_sample(key, props, pvalid, gtb, gtl, gtv):
-                cand = jnp.concatenate([gtb, props], axis=0)
-                cand_valid = jnp.concatenate([gtv, pvalid], axis=0)
-                assign = T.max_iou_assign(
-                    cand, cand_valid, gtb, gtv, gtl,
-                    pos_thr=pos_thr, neg_thr=neg_thr, min_pos_iou=min_pos,
-                    match_low_quality=True,
-                )
-                samp = T.random_sample(key, assign, num=1024, pos_fraction=0.25,
-                                       num_classes=self.num_classes)
-                rois = cand[samp.idx]
-                is_gt = samp.is_pos & (samp.idx < g)
-                return rois, samp, is_gt
+            def make_assign_sample(num, use_sampler):
+                def assign_sample(key, props, pvalid, gtb, gtl, gtv):
+                    cand = jnp.concatenate([gtb, props], axis=0)
+                    cand_valid = jnp.concatenate([gtv, pvalid], axis=0)
+                    assign = T.max_iou_assign(
+                        cand, cand_valid, gtb, gtv, gtl,
+                        pos_thr=pos_thr, neg_thr=neg_thr, min_pos_iou=min_pos,
+                        match_low_quality=True,
+                    )
+                    if use_sampler == "instance_balanced":
+                        from nuhtc_tpu.train.samplers import instance_balanced_sample
+
+                        samp = instance_balanced_sample(
+                            key, assign, num=num, pos_fraction=0.25,
+                            num_classes=self.num_classes, num_gts=g,
+                        )
+                    else:
+                        samp = T.random_sample(key, assign, num=num, pos_fraction=0.25,
+                                               num_classes=self.num_classes)
+                    rois = cand[samp.idx]
+                    is_gt = samp.is_pos & (samp.idx < g)
+                    return rois, samp, is_gt
+
+                return assign_sample
+
+            # OHEM mines hardest examples from a 2× random pool; the other
+            # samplers select directly at the target size
+            num_sel = 1024
+            pool = 2 * num_sel if sampler == "ohem" else num_sel
+            assign_sample = make_assign_sample(
+                pool, "random" if sampler == "ohem" else sampler
+            )
 
             rois, samp, is_gt = jax.vmap(assign_sample)(
                 keys[:, 2 + 2 * stage], proposals, proposals_valid,
@@ -443,6 +519,44 @@ class NuHTC(nn.Module):
             )
 
             cls_score, bbox_pred = self._bbox_stage(stage, feats, semantic_feat, rois)
+
+            if sampler == "ohem":
+                # OHEMSampler_HTC analog (reference nuhtc/datasets/samplers/):
+                # rank pool candidates by their CURRENT seesaw cls loss
+                # (stop-gradient) and keep the hardest positives/negatives;
+                # the already-computed pool head outputs are gathered so the
+                # head runs once per stage
+                from nuhtc_tpu.train.samplers import ohem_sample
+
+                probs_pool = seesaw_activation(jax.lax.stop_gradient(cls_score))
+                lbl = jnp.clip(samp.labels, 0, self.num_classes)  # neg → bg col
+                ploss = -jnp.log(
+                    jnp.take_along_axis(probs_pool, lbl[..., None], axis=2)[..., 0] + 1e-12
+                )
+
+                def sel_one(loss_i, gt_inds_i, is_pos_i, valid_i, labels_i):
+                    pool_assign = T.AssignResult(
+                        gt_inds=jnp.where(
+                            is_pos_i, gt_inds_i + 1, jnp.where(valid_i, 0, -1)
+                        ).astype(jnp.int32),
+                        max_iou=jnp.zeros_like(loss_i),
+                        labels=jnp.where(is_pos_i, labels_i, -1).astype(jnp.int32),
+                    )
+                    return ohem_sample(loss_i, pool_assign, num=num_sel,
+                                       pos_fraction=0.25, num_classes=self.num_classes)
+
+                sel = jax.vmap(sel_one)(
+                    ploss, samp.gt_inds, samp.is_pos, samp.valid, samp.labels
+                )
+                take = lambda x: jnp.take_along_axis(x, sel.idx, axis=1)  # noqa: E731
+                rois = jnp.take_along_axis(rois, sel.idx[..., None], axis=1)
+                cls_score = jnp.take_along_axis(cls_score, sel.idx[..., None], axis=1)
+                bbox_pred = jnp.take_along_axis(bbox_pred, sel.idx[..., None], axis=1)
+                is_gt = take(is_gt) & sel.is_pos
+                samp = T.SampleResult(
+                    idx=take(samp.idx), is_pos=sel.is_pos, valid=sel.valid,
+                    gt_inds=sel.gt_inds, labels=sel.labels,
+                )
 
             # targets
             def stage_targets(r, s, gtb):
@@ -471,42 +585,57 @@ class NuHTC(nn.Module):
                 box_ops.delta2bbox(rois, bbox_pred, stds=STAGE_STDS[stage], max_shape=img_shape)
             )
             refined_valid = samp.valid & ~is_gt
-            rois2, samp2, _ = jax.vmap(assign_sample)(
+            # mask re-sample at the target size (random under ohem — the
+            # pool/mining pass is only worth a second head forward for the
+            # bbox branch)
+            resample = make_assign_sample(
+                num_sel, "random" if sampler == "ohem" else sampler
+            )
+            rois2, samp2, _ = jax.vmap(resample)(
                 keys[:, 3 + 2 * stage], refined, refined_valid,
                 gt_boxes, gt_labels, gt_valid,
             )
             proposals, proposals_valid = refined, refined_valid
-            if stage == self.num_stages - 1:
-                final_rois, final_sample = rois2, samp2
 
-        # ---- mask head (final stage positives; sampler orders pos first) ---
-        mask_cap = 256
-        mrois = final_rois[:, :mask_cap]
-        mpos = final_sample.is_pos[:, :mask_cap]
-        mgt = final_sample.gt_inds[:, :mask_cap]
-        mask_probs_logits = self._mask_train_forward(feats, semantic_feat, mrois)
+            # ---- mask loss (re-sampled positives; sampler orders pos first).
+            # Lite: final stage only (reference _Lite.forward_train:2144-2175).
+            # _Cus: every stage, with mask info-flow (reference _Cus.
+            # forward_train:443-474 + _mask_forward_train:142-185). ----------
+            if (not self.lite) or stage == self.num_stages - 1:
+                mask_cap = 256
+                mrois = rois2[:, :mask_cap]
+                mpos = samp2.is_pos[:, :mask_cap]
+                mgt = samp2.gt_inds[:, :mask_cap]
+                mask_logits = self._mask_train_forward(
+                    feats, semantic_feat, mrois, stage=stage
+                )
 
-        def mk_targets(r, gi, gtb, gtp):
-            return T.mask_targets_from_patches(r, gi, gtb, gtp, mask_size=28)
+                def mk_targets(r, gi, gtb, gtp):
+                    return T.mask_targets_from_patches(r, gi, gtb, gtp, mask_size=28)
 
-        mtgt = jax.vmap(mk_targets)(mrois, mgt, gt_boxes, batch["gt_patches"])
-        mprobs = jax.nn.sigmoid(mask_probs_logits.reshape(-1, 28, 28))
-        # NuCLS partial supervision: instances with ismask=0 (box-only
-        # annotations) contribute no mask loss (reference RoIHead_Partial)
-        ismask = batch.get("gt_ismask")
-        mw = mpos.astype(jnp.float32)
-        if ismask is not None:
-            mw = mw * jnp.take_along_axis(ismask, mgt, axis=1)
-        losses["s2.loss_mask"] = stage_lw[-1] * L.dice_loss(
-            mprobs, mtgt.reshape(-1, 28, 28), weight=mw.reshape(-1),
-        )
+                mtgt = jax.vmap(mk_targets)(mrois, mgt, gt_boxes, batch["gt_patches"])
+                mprobs = jax.nn.sigmoid(mask_logits.reshape(-1, 28, 28))
+                # NuCLS partial supervision: instances with ismask=0 (box-only
+                # annotations) contribute no mask loss (reference RoIHead_Partial)
+                ismask = batch.get("gt_ismask")
+                mw = mpos.astype(jnp.float32)
+                if ismask is not None:
+                    mw = mw * jnp.take_along_axis(ismask, mgt, axis=1)
+                losses[f"s{stage}.loss_mask"] = stage_lw[stage] * L.dice_loss(
+                    mprobs, mtgt.reshape(-1, 28, 28), weight=mw.reshape(-1),
+                )
 
         losses["total"] = sum(losses.values())
         return losses, jnp.stack(new_cum)
 
-    def _mask_train_forward(self, feats, semantic_feat, boxes):
-        """(B, S, 4) → mask logits (B, S, 28, 28) (no info-flow at train,
-        reference _mask_forward_train passes last_feat=None)."""
+    def _mask_train_forward(self, feats, semantic_feat, boxes, stage: int | None = None):
+        """(B, S, 4) → mask logits (B, S, 28, 28).
+
+        Lite: single head, no info-flow (reference _Lite._mask_forward_train
+        passes last_feat=None, htc_roi_head_cus.py:1977). _Cus: heads
+        0..stage-1 run feature-only on the same RoI feats to build the
+        info-flow ``last_feat``, then head ``stage`` predicts (reference
+        _Cus._mask_forward_train:168-177)."""
         b, s, _ = boxes.shape
 
         def per_image(f_tuple, sem, r):
@@ -519,9 +648,20 @@ class NuHTC(nn.Module):
             return rf + sem_rf
 
         mf = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
-        logits = self.mask_head(
-            mf.reshape(b * s, 14, 14, -1), res_feat=None, return_logits=True, return_feat=False
-        )
+        mf = mf.reshape(b * s, 14, 14, -1)
+        if self.lite:
+            logits = self.mask_head(
+                mf, res_feat=None, return_logits=True, return_feat=False
+            )
+        else:
+            last = None
+            for i in range(stage):
+                last = self.mask_heads[i](
+                    mf, res_feat=last, return_logits=False, return_feat=True
+                )
+            logits = self.mask_heads[stage](
+                mf, res_feat=last, return_logits=True, return_feat=False
+            )
         return logits[..., 0].reshape(b, s, 28, 28)
 
     # ------------------------------------------------------------------ #

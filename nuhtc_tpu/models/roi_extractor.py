@@ -30,8 +30,10 @@ def attention_roi_features(
     start_level: int = 2,
     thres: float = 0.965926,
     max_grid: int = 8,
+    exact: bool = False,
 ) -> jnp.ndarray:
-    """→ (R, out, out, C). vmap over the batch axis for batched use."""
+    """→ (R, out, out, C). vmap over the batch axis for batched use.
+    ``exact=True`` forces f32/HIGHEST internals (parity testing)."""
     out = None
     for lvl, (feat, stride) in enumerate(zip(feats, strides)):
         if lvl < start_level:
@@ -42,9 +44,10 @@ def attention_roi_features(
                 output_size,
                 sampling_ratio=sampling_ratio,
                 max_grid=max_grid,
+                exact=exact,
             )
         else:
-            pooled = attention_pool(feat, rois, stride, thres)  # (R, C)
+            pooled = attention_pool(feat, rois, stride, thres, exact=exact)  # (R, C)
             t = jnp.broadcast_to(
                 pooled[:, None, None, :],
                 (rois.shape[0], output_size, output_size, pooled.shape[-1]),
@@ -61,10 +64,11 @@ def single_roi_features(
     sampling_ratio: int = 0,
     max_grid: int = 8,
     pool_from: int | None = None,
+    exact: bool = False,
 ) -> jnp.ndarray:
     return roi_align(
         feat, rois, 1.0 / stride, output_size, sampling_ratio=sampling_ratio,
-        max_grid=max_grid, pool_from=pool_from,
+        max_grid=max_grid, pool_from=pool_from, exact=exact,
     )
 
 

@@ -59,3 +59,110 @@ def test_detector_batch_consistency(tiny_detector):
         np.testing.assert_allclose(
             np.asarray(out_single[k][0]), np.asarray(out_batch[k][0]), rtol=1e-4, atol=1e-4
         )
+
+
+def test_detector_cus_full_cascade_mask():
+    """lite=False = the full _Cus RoI-head variant (reference
+    htc_roi_head_cus.py:22-830): a mask head per cascade stage with
+    info-flow, trained at every stage and sigmoid-averaged at test."""
+    model = NuHTC(
+        num_classes=5,
+        fpn_channels=32,
+        backbone_cfg=dict(
+            embed_dims=32, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), window_size=7
+        ),
+        rpn_nms_pre=256,
+        rpn_max_per_img=64,
+        rpn_min_bbox_size=0.0,
+        rcnn_max_per_img=16,
+        watershed_max=32,
+        nms_candidates=256,
+        scale_factor=2.0,
+        lite=False,
+    )
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, method="init_forward")
+    # one conv_res-bearing mask head per later stage
+    heads = params["params"]
+    assert "mask_heads_0" in heads and "mask_heads_2" in heads
+    assert "conv_res" not in heads["mask_heads_0"]
+    assert "conv_res" in heads["mask_heads_1"]
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32))
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert out["mask_probs"].shape == (1, 16, 28, 28)
+    mp = np.asarray(out["mask_probs"])
+    assert np.isfinite(mp).all() and (mp >= 0).all() and (mp <= 1).all()
+
+    rng = np.random.RandomState(2)
+    g = 8
+    cx = rng.uniform(8, 56, (1, g)); cy = rng.uniform(8, 56, (1, g))
+    half = rng.uniform(3, 6, (1, g))
+    batch = dict(
+        gt_boxes=jnp.asarray(
+            np.stack([cx - half, cy - half, cx + half, cy + half], -1).astype(np.float32)
+        ),
+        gt_labels=jnp.asarray(rng.randint(0, 5, (1, g)), dtype=jnp.int32),
+        gt_valid=jnp.asarray(np.ones((1, g), bool)),
+        gt_patches=jnp.asarray(np.ones((1, g, 64, 64), np.float32)),
+        gt_semantic=jnp.asarray(rng.randint(0, 2, (1, 16, 16)), dtype=jnp.int32),
+    )
+    losses, cum = model.apply(
+        params, x, batch, jnp.zeros((3, 5), jnp.float32),
+        method="compute_losses",
+        rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(30)},
+    )
+    # mask loss present at EVERY stage (the _Cus signature)
+    for s in range(3):
+        assert f"s{s}.loss_mask" in losses, sorted(losses)
+        assert np.isfinite(float(losses[f"s{s}.loss_mask"]))
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_build_detector_sampler_mapping():
+    """train_cfg.rcnn[*].sampler.type flows through build_detector."""
+    from nuhtc_tpu.models.build import build_detector
+
+    base = dict(
+        type="NuHTC",
+        roi_head=dict(type="HybridTaskCascadeRoIHead_Lite"),
+        train_cfg=dict(rcnn=[dict(sampler=dict(type="OHEMSampler_HTC"))]),
+    )
+    assert build_detector(base).rcnn_sampler == "ohem"
+    base["train_cfg"] = dict(
+        rcnn=dict(sampler=dict(type="InstanceBalancedPosSampler_Cus"))
+    )
+    assert build_detector(base).rcnn_sampler == "instance_balanced"
+    base["train_cfg"] = dict(rcnn=[dict(sampler=dict(type="RandomSampler"))])
+    assert build_detector(base).rcnn_sampler == "random"
+    # roi_head family dispatch
+    assert build_detector(dict(type="NuHTC", roi_head=dict(type="HybridTaskCascadeRoIHead_Cus"))).lite is False
+    assert build_detector(dict(type="NuHTC", roi_head=dict(type="HybridTaskCascadeRoIHead_Lite_Fuse"))).lite_fuse is True
+
+
+def test_detector_ohem_sampler_losses(tiny_detector):
+    """rcnn_sampler='ohem' runs end-to-end: pool → head forward → hardest
+    selection → finite stage losses (OHEMSampler_HTC analog)."""
+    model, params = tiny_detector
+    ohem_model = model.clone(rcnn_sampler="ohem")
+    rng = np.random.RandomState(4)
+    g = 8
+    cx = rng.uniform(8, 56, (1, g)); cy = rng.uniform(8, 56, (1, g))
+    half = rng.uniform(3, 6, (1, g))
+    batch = dict(
+        gt_boxes=jnp.asarray(
+            np.stack([cx - half, cy - half, cx + half, cy + half], -1).astype(np.float32)
+        ),
+        gt_labels=jnp.asarray(rng.randint(0, 5, (1, g)), dtype=jnp.int32),
+        gt_valid=jnp.asarray(np.ones((1, g), bool)),
+        gt_patches=jnp.asarray(np.ones((1, g, 64, 64), np.float32)),
+        gt_semantic=jnp.asarray(rng.randint(0, 2, (1, 16, 16)), dtype=jnp.int32),
+    )
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    losses, _ = ohem_model.apply(
+        params, x, batch, jnp.zeros((3, 5), jnp.float32),
+        method="compute_losses",
+        rngs={"sampling": jax.random.PRNGKey(7), "dropout": jax.random.PRNGKey(70)},
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
