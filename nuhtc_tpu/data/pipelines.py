@@ -260,38 +260,157 @@ class ShuffledSequential(Sequential):
         return results
 
 
+def _corrupt_gaussian_noise(img, sev, rng):
+    return np.clip(img.astype(np.float32) + rng.randn(*img.shape) * (4 + 4 * sev), 0, 255)
+
+
+def _corrupt_shot_noise(img, sev, rng):
+    lam = 60.0 / sev  # photons per unit intensity
+    return np.clip(rng.poisson(img.astype(np.float32) / 255.0 * lam) / lam * 255.0, 0, 255)
+
+
+def _corrupt_impulse_noise(img, sev, rng):
+    out = img.astype(np.float32).copy()
+    p = 0.01 * sev
+    m = rng.rand(*img.shape[:2])
+    out[m < p / 2] = 0.0
+    out[(m >= p / 2) & (m < p)] = 255.0
+    return out
+
+
+def _corrupt_gaussian_blur(img, sev, rng):
+    return cv2.GaussianBlur(img, (0, 0), 0.5 * sev)
+
+
+def _corrupt_defocus_blur(img, sev, rng):
+    r = sev + 1
+    k = np.zeros((2 * r + 1, 2 * r + 1), np.float32)
+    cv2.circle(k, (r, r), r, 1.0, -1)
+    k /= k.sum()
+    return cv2.filter2D(img, -1, k)
+
+
+def _corrupt_motion_blur(img, sev, rng):
+    n = 2 * sev + 3
+    k = np.zeros((n, n), np.float32)
+    k[n // 2, :] = 1.0 / n
+    ang = rng.uniform(0, 180)
+    rot = cv2.getRotationMatrix2D((n / 2 - 0.5, n / 2 - 0.5), ang, 1.0)
+    k = cv2.warpAffine(k, rot, (n, n))
+    k /= max(k.sum(), 1e-6)
+    return cv2.filter2D(img, -1, k)
+
+
+def _corrupt_zoom_blur(img, sev, rng):
+    h, w = img.shape[:2]
+    acc = img.astype(np.float32).copy()
+    cnt = 1
+    for z in np.arange(1.0, 1.0 + 0.04 * sev, 0.01)[1:]:
+        zh, zw = int(np.ceil(h * z)), int(np.ceil(w * z))
+        big = cv2.resize(img, (zw, zh))
+        y0, x0 = (zh - h) // 2, (zw - w) // 2
+        acc += big[y0 : y0 + h, x0 : x0 + w].astype(np.float32)
+        cnt += 1
+    return np.clip(acc / cnt, 0, 255)
+
+
+def _corrupt_jpeg(img, sev, rng):
+    q = max(10, 60 - 12 * sev)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
+    return cv2.imdecode(enc, cv2.IMREAD_COLOR)
+
+
+def _corrupt_pixelate(img, sev, rng):
+    h, w = img.shape[:2]
+    f = 1.0 - 0.15 * sev
+    small = cv2.resize(img, (max(1, int(w * f)), max(1, int(h * f))))
+    return cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+
+
+def _corrupt_brightness(img, sev, rng):
+    return np.clip(img.astype(np.float32) + 20.0 * sev, 0, 255)
+
+
+def _corrupt_contrast(img, sev, rng):
+    f = 1.0 - 0.15 * sev
+    mean = img.astype(np.float32).mean(axis=(0, 1), keepdims=True)
+    return np.clip((img.astype(np.float32) - mean) * f + mean, 0, 255)
+
+
+def _corrupt_saturate(img, sev, rng):
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 1] = np.clip(hsv[..., 1] * (1.0 + 0.2 * sev), 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def _corrupt_elastic(img, sev, rng):
+    h, w = img.shape[:2]
+    alpha = 2.0 * sev
+    dx = cv2.GaussianBlur((rng.rand(h, w).astype(np.float32) * 2 - 1), (0, 0), 8) * alpha
+    dy = cv2.GaussianBlur((rng.rand(h, w).astype(np.float32) * 2 - 1), (0, 0), 8) * alpha
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    return cv2.remap(img, xx + dx, yy + dy, cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+
+
+# name → fn, mirroring the imagecorruptions catalog where cv2/numpy allows
+# (reference rand_aug.py:979 + test_robustness; snow/frost/fog/glass_blur
+# need external texture assets and are intentionally absent)
+CORRUPTIONS = {
+    "gaussian_noise": _corrupt_gaussian_noise,
+    "shot_noise": _corrupt_shot_noise,
+    "impulse_noise": _corrupt_impulse_noise,
+    "gaussian_blur": _corrupt_gaussian_blur,
+    "defocus_blur": _corrupt_defocus_blur,
+    "motion_blur": _corrupt_motion_blur,
+    "zoom_blur": _corrupt_zoom_blur,
+    "jpeg_compression": _corrupt_jpeg,
+    "pixelate": _corrupt_pixelate,
+    "brightness": _corrupt_brightness,
+    "contrast": _corrupt_contrast,
+    "saturate": _corrupt_saturate,
+    "elastic_transform": _corrupt_elastic,
+}
+
+
 @PIPELINES.register()
 class RandCorrupt:
     """Image-corruption augmentation (reference rand_aug.py:979 uses the
-    ``imagecorruptions`` package, absent here — we implement a small set of
-    equivalent corruptions: gaussian noise/blur, jpeg, pixelate)."""
+    ``imagecorruptions`` package, absent here — CORRUPTIONS above implements
+    13 of its 15 corruption types with cv2/numpy)."""
 
-    def __init__(self, prob=0.5, severity=(1, 3)):
+    def __init__(self, prob=0.5, severity=(1, 3), corruptions=None):
         self.prob = prob
         self.severity = severity
+        self.names = list(corruptions or CORRUPTIONS)
 
     def __call__(self, results, rng: np.random.RandomState):
         if rng.rand() >= self.prob:
             return results
         img = np.clip(results["img"], 0, 255).astype(np.uint8)
         sev = rng.randint(self.severity[0], self.severity[1] + 1)
-        kind = rng.randint(4)
-        if kind == 0:  # gaussian noise
-            img = np.clip(
-                img.astype(np.float32) + rng.randn(*img.shape) * (4 + 4 * sev), 0, 255
-            ).astype(np.uint8)
-        elif kind == 1:  # gaussian blur
-            img = cv2.GaussianBlur(img, (0, 0), 0.5 * sev)
-        elif kind == 2:  # jpeg
-            q = max(10, 60 - 12 * sev)
-            ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
-            img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
-        else:  # pixelate
-            h, w = img.shape[:2]
-            f = 1.0 - 0.15 * sev
-            small = cv2.resize(img, (max(1, int(w * f)), max(1, int(h * f))))
-            img = cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
-        results["img"] = img.astype(np.float32)
+        name = self.names[rng.randint(len(self.names))]
+        img = CORRUPTIONS[name](img, sev, rng)
+        results["img"] = np.clip(img, 0, 255).astype(np.float32)
+        return results
+
+
+@PIPELINES.register()
+class RandPosterize:
+    """Bit-depth reduction (reference rand_aug.py:202 RandPosterize:
+    PIL ImageOps.posterize to ``4 - magnitude`` bits)."""
+
+    def __init__(self, prob=0.5, magnitude_limit=4):
+        self.prob = prob
+        self.magnitude_limit = magnitude_limit
+
+    def __call__(self, results, rng: np.random.RandomState):
+        if rng.rand() >= self.prob:
+            return results
+        magnitude = rng.randint(0, self.magnitude_limit + 1)
+        bits = max(4 - magnitude, 1)
+        keep = np.uint8(0xFF & ~((1 << (8 - bits)) - 1))
+        img = np.clip(results["img"], 0, 255).astype(np.uint8)
+        results["img"] = (img & keep).astype(np.float32)
         return results
 
 

@@ -150,3 +150,37 @@ def test_collate_and_pipeline(tmp_path):
     assert batch["gt_valid"][:, 0].all()
     # semantic derived from instance masks: some fg
     assert batch["gt_semantic"].sum() > 0
+
+
+def test_gather_objects_single_process():
+    """Multi-host eval gather (reference collect_results): single-process
+    path returns [obj] unchanged."""
+    from nuhtc_tpu.parallel.mesh import gather_objects
+
+    obj = {"a": [1, 2, 3], "b": "x"}
+    out = gather_objects(obj)
+    assert out == [obj]
+
+
+def test_corruption_catalog_and_posterize():
+    """All 13 corruption types produce valid images; RandPosterize reduces
+    bit depth (reference rand_aug.py:202, imagecorruptions catalog)."""
+    import numpy as np
+
+    from nuhtc_tpu.data.pipelines import CORRUPTIONS, RandCorrupt, RandPosterize
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+    assert len(CORRUPTIONS) == 13
+    for name, fn in CORRUPTIONS.items():
+        out = np.clip(fn(img, 3, np.random.RandomState(1)), 0, 255)
+        assert out.shape == img.shape, name
+        assert np.isfinite(np.asarray(out, np.float32)).all(), name
+
+    res = dict(img=img.astype(np.float32))
+    out = RandPosterize(prob=1.0)(dict(res), np.random.RandomState(5))
+    assert out["img"].shape == img.shape
+    # bit-depth reduction strictly shrinks the value alphabet
+    assert len(np.unique(out["img"])) <= len(np.unique(img))
+    c = RandCorrupt(prob=1.0)(dict(res), np.random.RandomState(2))
+    assert c["img"].shape == img.shape

@@ -18,30 +18,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 
-CORRUPTIONS = ("gaussian_noise", "gaussian_blur", "jpeg", "pixelate")
+def _catalog():
+    from nuhtc_tpu.data.pipelines import CORRUPTIONS as C
+
+    return C
 
 
 def corrupt(img: np.ndarray, kind: str, severity: int) -> np.ndarray:
-    import cv2
+    cat = _catalog()
+    if kind == "jpeg":  # legacy alias
+        kind = "jpeg_compression"
+    if kind not in cat:
+        raise ValueError(f"{kind}; available: {sorted(cat)}")
+    out = cat[kind](img.astype(np.uint8), severity, np.random.RandomState(0))
+    return np.clip(out, 0, 255).astype(np.uint8)
 
-    img = img.astype(np.uint8)
-    if kind == "gaussian_noise":
-        return np.clip(
-            img.astype(np.float32) + np.random.RandomState(0).randn(*img.shape) * (4 + 4 * severity),
-            0, 255,
-        ).astype(np.uint8)
-    if kind == "gaussian_blur":
-        return cv2.GaussianBlur(img, (0, 0), 0.5 * severity)
-    if kind == "jpeg":
-        q = max(10, 60 - 12 * severity)
-        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
-        return cv2.imdecode(enc, cv2.IMREAD_COLOR)
-    if kind == "pixelate":
-        h, w = img.shape[:2]
-        f = 1.0 - 0.15 * severity
-        small = cv2.resize(img, (max(1, int(w * f)), max(1, int(h * f))))
-        return cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
-    raise ValueError(kind)
+
+CORRUPTIONS = (
+    "gaussian_noise", "shot_noise", "impulse_noise", "gaussian_blur",
+    "defocus_blur", "motion_blur", "zoom_blur", "jpeg_compression",
+    "pixelate", "brightness", "contrast", "saturate", "elastic_transform",
+)
 
 
 def main():

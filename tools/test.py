@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--limit", type=int, default=0, help="evaluate only the first N images")
     ap.add_argument("--out-json", default=None)
     ap.add_argument("--out", default=None, help="pickle the raw per-image results")
+    ap.add_argument(
+        "--launcher", choices=["none", "jax"], default="none",
+        help="'jax' = multi-host: jax.distributed.initialize, images strided "
+             "across processes, results all-gathered (reference "
+             "multi_gpu_test + init_dist, tools/test.py:239)",
+    )
     args = ap.parse_args()
 
     from nuhtc_tpu.apis import init_detector
@@ -53,15 +59,26 @@ def main():
     from nuhtc_tpu.eval.evaluate import evaluate_dataset
     from nuhtc_tpu.ops import rle as rle_ops
 
+    nproc, pid = 1, 0
+    if args.launcher == "jax":
+        import jax
+
+        from nuhtc_tpu.parallel.mesh import init_distributed
+
+        nproc = init_distributed()
+        pid = jax.process_index()
+
     cfg = Config.fromfile(args.config)
     dataset = build_dataset({**cfg.data.test, "test_mode": True})
     engine = init_detector(cfg, args.checkpoint, batch_size=args.batch_size)
 
     n = len(dataset) if not args.limit else min(args.limit, len(dataset))
+    # interleaved shard, like mmdet's DistributedSampler: process p → p, p+P,…
+    my_idxs = list(range(pid, n, nproc))
     results = []
     t0 = time.perf_counter()
-    for start in range(0, n, args.batch_size):
-        idxs = range(start, min(start + args.batch_size, n))
+    for start in range(0, len(my_idxs), args.batch_size):
+        idxs = my_idxs[start : start + args.batch_size]
         imgs = [dataset.load_image(i) for i in idxs]
         for res in engine.run_batch(imgs):
             # convert masks to RLE + reference result tuple contract
@@ -75,10 +92,19 @@ def main():
                 )
                 segms.append([rle_ops.encode(m) for m in res["masks"][sel]])
             results.append((bboxes, segms))
-        done = min(start + args.batch_size, n)
+        done = min(start + args.batch_size, len(my_idxs))
         rate = done / (time.perf_counter() - t0)
-        print(f"\r{done}/{n} imgs ({rate:.1f} img/s)", end="", flush=True)
+        print(f"\r[p{pid}] {done}/{len(my_idxs)} imgs ({rate:.1f} img/s)", end="", flush=True)
     print()
+
+    if nproc > 1:
+        from nuhtc_tpu.parallel.mesh import gather_objects
+
+        parts = gather_objects(list(zip(my_idxs, results)))
+        if pid != 0:
+            return  # rank 0 evaluates (reference collect_results → rank 0)
+        merged = sorted((pair for part in parts for pair in part), key=lambda p: p[0])
+        results = [r for _, r in merged]
 
     if args.out:
         import pickle
