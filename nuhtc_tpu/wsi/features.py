@@ -39,11 +39,63 @@ def color_deconvolution(rgb: np.ndarray) -> np.ndarray:
     return conc.reshape(rgb.shape).astype(np.float32)
 
 
+def _glcm_single(p2: np.ndarray, levels: int) -> Dict[str, float]:
+    """Full Haralick statistic set for one normalized co-occurrence matrix
+    (histomicstk compute_haralick_features / Haralick 1973)."""
+    i_idx, j_idx = np.mgrid[:levels, :levels]
+    diff = i_idx - j_idx
+    out: Dict[str, float] = {}
+    out["contrast"] = float((p2 * diff**2).sum())
+    out["dissimilarity"] = float((p2 * np.abs(diff)).sum())
+    out["homogeneity"] = float((p2 / (1.0 + diff**2)).sum())
+    out["idm"] = out["homogeneity"]  # inverse difference moment
+    asm = float((p2**2).sum())
+    out["asm"] = asm
+    px = p2.sum(1)
+    py = p2.sum(0)
+    mu_i = float((px * np.arange(levels)).sum())
+    mu_j = float((py * np.arange(levels)).sum())
+    sd_i = math.sqrt(max(float((px * (np.arange(levels) - mu_i) ** 2).sum()), 1e-12))
+    sd_j = math.sqrt(max(float((py * (np.arange(levels) - mu_j) ** 2).sum()), 1e-12))
+    out["correlation"] = float(((p2 * (i_idx - mu_i) * (j_idx - mu_j)).sum()) / (sd_i * sd_j))
+    out["sum_of_squares"] = float((p2 * (i_idx - mu_i) ** 2).sum())
+    nz = p2[p2 > 0]
+    out["entropy"] = float(-(nz * np.log2(nz)).sum())
+    # p_{x+y}(k), k = 0..2(L-1); p_{x-y}(k), k = 0..L-1
+    psum = np.zeros(2 * levels - 1)
+    np.add.at(psum, (i_idx + j_idx).ravel(), p2.ravel())
+    pdiff = np.zeros(levels)
+    np.add.at(pdiff, np.abs(diff).ravel(), p2.ravel())
+    ks = np.arange(2 * levels - 1)
+    out["sum_average"] = float((psum * ks).sum())
+    out["sum_variance"] = float((psum * (ks - out["sum_average"]) ** 2).sum())
+    nzs = psum[psum > 0]
+    out["sum_entropy"] = float(-(nzs * np.log2(nzs)).sum())
+    kd = np.arange(levels)
+    davg = float((pdiff * kd).sum())
+    out["difference_variance"] = float((pdiff * (kd - davg) ** 2).sum())
+    nzd = pdiff[pdiff > 0]
+    out["difference_entropy"] = float(-(nzd * np.log2(nzd)).sum())
+    # information measures of correlation
+    nzx, nzy = px[px > 0], py[py > 0]
+    hx = float(-(nzx * np.log2(nzx)).sum())
+    hy = float(-(nzy * np.log2(nzy)).sum())
+    pxy = px[:, None] * py[None, :]
+    sel = (p2 > 0) & (pxy > 0)
+    hxy1 = float(-(p2[sel] * np.log2(pxy[sel])).sum())
+    selxy = pxy > 0
+    hxy2 = float(-(pxy[selxy] * np.log2(pxy[selxy])).sum())
+    out["imc1"] = (out["entropy"] - hxy1) / max(hx, hy, 1e-12)
+    out["imc2"] = math.sqrt(max(1.0 - math.exp(-2.0 * (hxy2 - out["entropy"])), 0.0))
+    return out
+
+
 def _glcm(gray: np.ndarray, mask: np.ndarray, levels: int = 16) -> Dict[str, float]:
+    """Haralick features over 4 offsets → per-stat mean and range
+    (histomicstk reports .Mean/.Range over directions)."""
     g = np.clip((gray / 256.0 * levels).astype(np.int32), 0, levels - 1)
-    feats = {k: 0.0 for k in ("contrast", "dissimilarity", "homogeneity", "asm", "correlation", "entropy")}
     offsets = [(0, 1), (1, 0), (1, 1), (1, -1)]
-    valid_offsets = 0
+    per_offset: List[Dict[str, float]] = []
     for dy, dx in offsets:
         h, w = g.shape
         src = g[max(-dy, 0) : h - max(dy, 0), max(-dx, 0) : w - max(dx, 0)]
@@ -53,49 +105,154 @@ def _glcm(gray: np.ndarray, mask: np.ndarray, levels: int = 16) -> Dict[str, flo
         sel = (msrc > 0) & (mdst > 0)
         if sel.sum() < 4:
             continue
-        valid_offsets += 1
         pairs = src[sel] * levels + dst[sel]
         p = np.bincount(pairs, minlength=levels * levels).astype(np.float64)
         p /= p.sum()
-        p2 = p.reshape(levels, levels)
-        i_idx, j_idx = np.mgrid[:levels, :levels]
-        diff = i_idx - j_idx
-        feats["contrast"] += float((p2 * diff**2).sum())
-        feats["dissimilarity"] += float((p2 * np.abs(diff)).sum())
-        feats["homogeneity"] += float((p2 / (1.0 + diff**2)).sum())
-        asm = float((p2**2).sum())
-        feats["asm"] += asm
-        mu_i = float((p2.sum(1) * np.arange(levels)).sum())
-        mu_j = float((p2.sum(0) * np.arange(levels)).sum())
-        sd_i = math.sqrt(max(float((p2.sum(1) * (np.arange(levels) - mu_i) ** 2).sum()), 1e-12))
-        sd_j = math.sqrt(max(float((p2.sum(0) * (np.arange(levels) - mu_j) ** 2).sum()), 1e-12))
-        feats["correlation"] += float(
-            ((p2 * (i_idx - mu_i) * (j_idx - mu_j)).sum()) / (sd_i * sd_j)
-        )
-        nz = p2[p2 > 0]
-        feats["entropy"] += float(-(nz * np.log2(nz)).sum())
-    if valid_offsets:
-        for k in feats:
-            feats[k] /= valid_offsets
+        per_offset.append(_glcm_single(p.reshape(levels, levels), levels))
+    feats: Dict[str, float] = {}
+    if not per_offset:
+        keys = list(_glcm_single(np.full((levels, levels), 1.0 / levels**2), levels))
+        for k in keys:
+            feats[k] = 0.0
+            feats[f"{k}_range"] = 0.0
+        feats["energy"] = 0.0
+        return feats
+    keys = per_offset[0].keys()
+    for k in keys:
+        vals = [po[k] for po in per_offset]
+        feats[k] = float(np.mean(vals))
+        feats[f"{k}_range"] = float(np.max(vals) - np.min(vals))
     feats["energy"] = math.sqrt(max(feats.pop("asm"), 0.0))
+    feats["asm"] = feats["energy"] ** 2
     return feats
 
 
+def _skew_kurt(vals: np.ndarray):
+    mu = vals.mean()
+    sd = vals.std()
+    if sd < 1e-12:
+        return 0.0, 0.0
+    z = (vals - mu) / sd
+    return float((z**3).mean()), float((z**4).mean() - 3.0)
+
+
+def _gradient_stats(gray: np.ndarray, mask: np.ndarray) -> Dict[str, float]:
+    """Nucleus.Gradient.* block (histomicstk compute_gradient_features):
+    Sobel magnitude stats + Canny edge density inside the mask."""
+    gx = cv2.Sobel(gray, cv2.CV_32F, 1, 0, ksize=3)
+    gy = cv2.Sobel(gray, cv2.CV_32F, 0, 1, ksize=3)
+    mag = np.sqrt(gx**2 + gy**2)
+    vals = mag[mask > 0].astype(np.float64)
+    if len(vals) == 0:
+        return {k: 0.0 for k in (
+            "grad_mag_mean", "grad_mag_std", "grad_mag_skewness",
+            "grad_mag_kurtosis", "grad_mag_entropy", "grad_mag_energy",
+            "grad_canny_sum", "grad_canny_mean")}
+    hist, _ = np.histogram(vals, bins=32)
+    p = hist / max(hist.sum(), 1)
+    nzp = p[p > 0]
+    skew, kurt = _skew_kurt(vals)
+    canny = cv2.Canny(gray.astype(np.uint8), 50, 150)
+    cvals = (canny[mask > 0] > 0).astype(np.float64)
+    return {
+        "grad_mag_mean": float(vals.mean()),
+        "grad_mag_std": float(vals.std()),
+        "grad_mag_skewness": skew,
+        "grad_mag_kurtosis": kurt,
+        "grad_mag_entropy": float(-(nzp * np.log2(nzp)).sum()),
+        "grad_mag_energy": float((p**2).sum()),
+        "grad_canny_sum": float(cvals.sum()),
+        "grad_canny_mean": float(cvals.mean()),
+    }
+
+
+def _fsd(cont: np.ndarray, k: int = 6, n_boundary: int = 128) -> Dict[str, float]:
+    """Fourier shape descriptors (histomicstk compute_fsd_features): the
+    boundary is resampled to ``n_boundary`` points, FFT'd as complex
+    z = x + iy, and spectral energy is grouped into ``k`` wedges of
+    increasing frequency (normalized by total non-DC energy)."""
+    pts = cont.reshape(-1, 2).astype(np.float64)
+    if len(pts) < 4:
+        return {f"fsd{i + 1}": 0.0 for i in range(k)}
+    # resample boundary uniformly by arc length
+    d = np.sqrt(((np.roll(pts, -1, 0) - pts) ** 2).sum(1))
+    cum = np.concatenate([[0.0], np.cumsum(d)])
+    total = cum[-1]
+    if total < 1e-9:
+        return {f"fsd{i + 1}": 0.0 for i in range(k)}
+    t = np.linspace(0, total, n_boundary, endpoint=False)
+    xs = np.interp(t, cum, np.concatenate([pts[:, 0], pts[:1, 0]]))
+    ys = np.interp(t, cum, np.concatenate([pts[:, 1], pts[:1, 1]]))
+    z = xs + 1j * ys
+    f = np.fft.fft(z)
+    power = np.abs(f) ** 2
+    power[0] = 0.0  # drop DC (position)
+    tot = power.sum()
+    if tot < 1e-12:
+        return {f"fsd{i + 1}": 0.0 for i in range(k)}
+    # frequency wedges: indices 1..n/2 folded with their negatives
+    half = n_boundary // 2
+    folded = power[1 : half + 1].copy()  # j = 1..half (half = Nyquist)
+    folded[: half - 1] += power[:half:-1]  # fold -j onto +j (j = 1..half-1)
+    edges = np.unique(np.round(np.logspace(0, math.log10(half), k + 1)).astype(int))
+    while len(edges) < k + 1:  # tiny contours: pad edge list
+        edges = np.concatenate([edges, [edges[-1] + 1]])
+    out = {}
+    for i in range(k):
+        lo, hi = edges[i] - 1, min(edges[i + 1] - 1, half)
+        out[f"fsd{i + 1}"] = float(folded[lo:hi].sum() / tot)
+    return out
+
+
+def _fractal_dimension(mask: np.ndarray) -> float:
+    """Minkowski–Bouligand box-counting dimension of the boundary."""
+    edge = cv2.Canny(mask * 255, 50, 150) > 0
+    if not edge.any():
+        return 0.0
+    s = max(edge.shape)
+    n = 2 ** int(np.ceil(np.log2(max(s, 2))))
+    padded = np.zeros((n, n), bool)
+    padded[: edge.shape[0], : edge.shape[1]] = edge
+    sizes, counts = [], []
+    size = n
+    while size >= 2:
+        blocks = padded.reshape(n // size, size, n // size, size).any(axis=(1, 3))
+        c = int(blocks.sum())
+        if c > 0:
+            sizes.append(size)
+            counts.append(c)
+        size //= 2
+    if len(sizes) < 2:
+        return 0.0
+    coeffs = np.polyfit(np.log(1.0 / np.asarray(sizes)), np.log(np.asarray(counts)), 1)
+    return float(coeffs[0])
+
+
 def _intensity_stats(ch: np.ndarray, mask: np.ndarray, prefix: str) -> Dict[str, float]:
+    keys = ("mean", "std", "min", "max", "median", "mad", "entropy",
+            "mean_median_diff", "iqr", "skewness", "kurtosis", "hist_energy")
     vals = ch[mask > 0].astype(np.float64)
     if len(vals) == 0:
-        return {f"{prefix}_{k}": 0.0 for k in ("mean", "std", "min", "max", "median", "mad", "entropy")}
+        return {f"{prefix}_{k}": 0.0 for k in keys}
     hist, _ = np.histogram(vals, bins=32)
     p = hist / max(hist.sum(), 1)
     nz = p[p > 0]
+    med = float(np.median(vals))
+    skew, kurt = _skew_kurt(vals)
+    q75, q25 = np.percentile(vals, [75, 25])
     return {
         f"{prefix}_mean": float(vals.mean()),
         f"{prefix}_std": float(vals.std()),
         f"{prefix}_min": float(vals.min()),
         f"{prefix}_max": float(vals.max()),
-        f"{prefix}_median": float(np.median(vals)),
-        f"{prefix}_mad": float(np.median(np.abs(vals - np.median(vals)))),
+        f"{prefix}_median": med,
+        f"{prefix}_mad": float(np.median(np.abs(vals - med))),
         f"{prefix}_entropy": float(-(nz * np.log2(nz)).sum()),
+        f"{prefix}_mean_median_diff": float(vals.mean() - med),
+        f"{prefix}_iqr": float(q75 - q25),
+        f"{prefix}_skewness": skew,
+        f"{prefix}_kurtosis": kurt,
+        f"{prefix}_hist_energy": float((p**2).sum()),
     }
 
 
@@ -141,23 +298,42 @@ def nucleus_features(
         "eccentricity": ecc,
         "major_axis_length": major,
         "minor_axis_length": minor,
+        "minor_major_axis_ratio": minor / max(major, 1e-9),
         "orientation": angle,
         "solidity": area / hull_area,
+        "convex_hull_area": hull_area,
         "extent": area / max(bw * bh, 1e-9),
         "equivalent_diameter": math.sqrt(4 * area / math.pi),
+        "fractal_dimension": _fractal_dimension(mask),
         "bbox_x": x + offset[0],
         "bbox_y": y + offset[1],
         "bbox_w": bw,
         "bbox_h": bh,
     }
+    # Hu moment invariants of the binary shape (Shape.HuMoments1-7)
+    hu = cv2.HuMoments(cv2.moments(mask, binaryImage=True)).ravel()
+    for i, v in enumerate(hu):
+        feats[f"hu_moment{i + 1}"] = float(v)
+    # Fourier shape descriptors (Shape.FSD1-6)
+    feats.update(_fsd(cont))
+    gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+    # weighted centroid + weighted Hu moments (intensity-weighted shape,
+    # histomicstk Identifier.WeightedCentroid* / Shape.WeightedHuMoments*)
+    weighted = gray.astype(np.float32) * mask
+    mw = cv2.moments(weighted)
+    feats["weighted_centroid_x"] = mw["m10"] / max(mw["m00"], 1e-9) + offset[0]
+    feats["weighted_centroid_y"] = mw["m01"] / max(mw["m00"], 1e-9) + offset[1]
+    hu_w = cv2.HuMoments(mw).ravel()
+    for i, v in enumerate(hu_w):
+        feats[f"weighted_hu_moment{i + 1}"] = float(v)
     if with_intensity:
         conc = color_deconvolution(rgb)
         feats.update(_intensity_stats(conc[..., 0], mask, "hematoxylin"))
         feats.update(_intensity_stats(conc[..., 1], mask, "eosin"))
         for i, name in enumerate(("r", "g", "b")):
             feats.update(_intensity_stats(rgb[..., i].astype(np.float64), mask, name))
+        feats.update(_gradient_stats(gray, mask))
     if with_texture:
-        gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
         for k, v in _glcm(gray, mask).items():
             feats[f"haralick_{k}"] = v
     return feats

@@ -123,3 +123,29 @@ def test_color_deconvolution_shapes():
     c = color_deconvolution(rgb)
     assert c.shape == (16, 16, 3)
     assert np.isfinite(c).all()
+
+
+def test_nucleus_features_extended_columns():
+    """Gradient/FSD/Hu/extended-Haralick blocks (histomicstk column parity,
+    reference README.md:281-287): ~140 finite columns incl. the new blocks."""
+    rng = np.random.RandomState(3)
+    rgb = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    mask = np.zeros((48, 48), np.uint8)
+    cv2.ellipse(mask, (24, 24), (14, 9), 30, 0, 360, 1, -1)
+    f = nucleus_features(rgb, mask)
+    assert f is not None
+    assert len(f) >= 130
+    assert all(np.isfinite(v) for v in f.values())
+    # block presence
+    for key in ("fsd1", "fsd6", "hu_moment1", "hu_moment7",
+                "weighted_hu_moment1", "weighted_centroid_x",
+                "grad_mag_mean", "grad_canny_mean", "fractal_dimension",
+                "haralick_imc2", "haralick_sum_entropy_range",
+                "hematoxylin_skewness", "r_iqr", "convex_hull_area"):
+        assert key in f, key
+    # FSD energies are a normalized spectrum; smooth ellipse → low-freq heavy
+    s = sum(f[f"fsd{i}"] for i in range(1, 7))
+    assert 0.9 < s <= 1.0 + 1e-6
+    assert f["fsd1"] > 0.5
+    # circle-ish ellipse: fractal dimension of a smooth boundary ≈ 1
+    assert 0.7 < f["fractal_dimension"] < 1.6
