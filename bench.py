@@ -17,7 +17,12 @@ from model throughput).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 35.0 — our estimate of the reference's A100
-tiles/sec for this model (the repo publishes no number; see BASELINE.md).
+tiles/sec for this model. The repo publishes no number and its PyTorch
+stack cannot run here (no mmcv/pycocotools), so the constant is derived
+from public benchmarks of the same architecture family (full derivation
+in BASELINE.md "A100 baseline derivation"): mmdetection's HTC inference
+fps, Swin-T detector fps from the Swin paper, scaled for the 512² input,
+A100-vs-V100 speedup, and the reference's per-image CPU watershed hop.
 The round target is vs_baseline ≥ 5.
 """
 

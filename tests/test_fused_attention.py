@@ -22,9 +22,10 @@ from nuhtc_tpu.models.swin import (
 )
 from nuhtc_tpu.ops.window_attention_pallas import window_attention_fused
 
-pytestmark = pytest.mark.skipif(
+slow = pytest.mark.skipif(
     os.environ.get("NUHTC_SLOW_PALLAS") != "1",
-    reason="pallas interpret mode is minutes-slow on the 1-core host",
+    reason="pallas interpret mode is minutes-slow on the 1-core host "
+    "(the single-window case below always runs; full shapes are opt-in)",
 )
 
 WS, H, W, C, NH, B = 7, 14, 21, 32, 2, 2
@@ -59,6 +60,7 @@ def _fused(x, p, shift):
     )
 
 
+@slow
 def test_fused_matches_xla_noshift(setup):
     x, wa, p = setup
     wins = window_partition(x, WS)
@@ -69,6 +71,7 @@ def test_fused_matches_xla_noshift(setup):
     )
 
 
+@slow
 def test_fused_matches_xla_shifted(setup):
     x, wa, p = setup
     shift = WS // 2
@@ -77,6 +80,37 @@ def test_fused_matches_xla_shifted(setup):
     wins = window_partition(xr, WS)
     want = window_reverse(wa.apply(p, wins, mask=mask), WS, H, W)
     got = _fused(xr, p, shift=shift)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.06
+    )
+
+
+def test_fused_tiny_single_window():
+    """Always-on CI coverage for the fused kernel: one 7x7 window, one
+    batch, one head — small enough for interpret mode in seconds."""
+    ws = 7
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, ws, ws, 32).astype(np.float32)).astype(jnp.bfloat16)
+    wa = WindowAttention(dim=32, num_heads=1, window_size=ws, dtype=jnp.bfloat16)
+    wins = window_partition(x, ws)
+    p = wa.init(jax.random.PRNGKey(0), wins)
+    params = p["params"]
+    table = params["relative_position_bias_table"]
+    idx = _rel_position_index(ws)
+    bias49 = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, 1).transpose(2, 0, 1)
+    want = window_reverse(wa.apply(p, wins), ws, ws, ws)
+    got = window_attention_fused(
+        x,
+        params["qkv"]["kernel"],
+        params["qkv"]["bias"],
+        params["proj"]["kernel"],
+        params["proj"]["bias"],
+        bias49,
+        ws=ws,
+        num_heads=1,
+        shift=0,
+        interpret=True,
+    )
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.06
     )
