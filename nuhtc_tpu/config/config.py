@@ -56,6 +56,33 @@ def _wrap(obj):
     return obj
 
 
+def _coerce_option(value):
+    """CLI override string → typed value (mmcv DictAction semantics)."""
+    if not isinstance(value, str):
+        return value
+    lowered = value.strip()
+    if lowered in ("True", "true"):
+        return True
+    if lowered in ("False", "false"):
+        return False
+    if lowered in ("None", "null"):
+        return None
+    try:
+        return int(lowered)
+    except ValueError:
+        pass
+    try:
+        return float(lowered)
+    except ValueError:
+        pass
+    import ast
+
+    try:
+        return ast.literal_eval(lowered)
+    except (ValueError, SyntaxError):
+        return value
+
+
 def deep_merge(base: dict, override: dict) -> dict:
     """Merge ``override`` into ``base`` recursively (override wins).
 
@@ -162,8 +189,16 @@ class Config:
         return copy.deepcopy(dict(self._cfg))
 
     # -- mutation -----------------------------------------------------------
+    @staticmethod
+    def _coerce(value):
+        return _coerce_option(value)
+
     def merge_from_options(self, options: Dict[str, Any]):
-        """Apply ``--cfg-options a.b.c=v`` style deep overrides."""
+        """Apply ``--cfg-options a.b.c=v`` style deep overrides.
+
+        String values are coerced like mmcv's DictAction: int/float/bool/
+        None where they parse, python literals (lists/tuples/dicts) via
+        ast.literal_eval, else kept as strings."""
         for dotted, value in options.items():
             parts = dotted.split(".")
             cur = self._cfg
@@ -171,7 +206,7 @@ class Config:
                 if p not in cur or not isinstance(cur[p], dict):
                     cur[p] = ConfigDict()
                 cur = cur[p]
-            cur[parts[-1]] = _wrap(value)
+            cur[parts[-1]] = _wrap(_coerce_option(value))
         self._cfg = _wrap(resolve_vars(dict(self._cfg)))
 
     def dump(self, path: str):

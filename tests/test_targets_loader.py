@@ -184,3 +184,17 @@ def test_corruption_catalog_and_posterize():
     assert len(np.unique(out["img"])) <= len(np.unique(img))
     c = RandCorrupt(prob=1.0)(dict(res), np.random.RandomState(2))
     assert c["img"].shape == img.shape
+
+
+def test_cfg_options_coerce_types():
+    """--cfg-options values arrive as strings; they must coerce to typed
+    values (mmcv DictAction semantics) so `interval=2` is usable as an int."""
+    from nuhtc_tpu.config.config import _coerce_option
+
+    assert _coerce_option("2") == 2 and isinstance(_coerce_option("2"), int)
+    assert _coerce_option("0.5") == 0.5
+    assert _coerce_option("True") is True and _coerce_option("false") is False
+    assert _coerce_option("None") is None
+    assert _coerce_option("[1, 2]") == [1, 2]
+    assert _coerce_option("abc") == "abc"
+    assert _coerce_option(7) == 7

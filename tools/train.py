@@ -110,6 +110,7 @@ def main():
         work_dir,
         max_epochs=args.max_epochs or cfg.get("max_epochs", 200),
         iters_per_epoch=iters_per_epoch,
+        log_interval=cfg.get("log_interval", 50),
         checkpoint_interval=cfg.get("checkpoint_interval", 10),
         eval_interval=cfg.get("evaluation", {}).get("interval", 10),
         seed=args.seed,
