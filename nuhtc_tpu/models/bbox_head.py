@@ -42,10 +42,15 @@ class Shared2FCBBoxHeadWithProb(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
-        """roi_feats: (R, S, S, C) → (cls_score (R, C+2), bbox_pred (R, 4))."""
+        """roi_feats: (R, S, S, C) or pre-flattened (R, S*S*C) in (i, j, c)
+        order → (cls_score (R, C+2), bbox_pred (R, 4)).
+
+        Flattening is (i, j, c) — the natural NHWC minor order, so no
+        activation transpose (a measured ~9 ms/step relayout at B16×1512
+        rois). Torch checkpoints flatten (c, i, j); the converter permutes
+        the shared_fc0 weight rows instead (utils/checkpoint.py _roi_fc_w)."""
         r = roi_feats.shape[0]
-        # match torch flatten order (C, H, W) so checkpoint fc weights convert
-        x = roi_feats.transpose(0, 3, 1, 2).reshape(r, -1)
+        x = roi_feats if roi_feats.ndim == 2 else roi_feats.reshape(r, -1)
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc0")(x))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc1")(x))
         cls_score = NormedLinear(
@@ -79,9 +84,11 @@ class Shared2FCBBoxHead(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
-        """roi_feats: (R, S, S, C) → (cls_score (R, C+1), bbox_pred (R, 4·C))."""
+        """roi_feats: (R, S, S, C) or flat (R, S*S*C), (i, j, c) order →
+        (cls_score (R, C+1), bbox_pred (R, 4·C)). Same flatten convention as
+        Shared2FCBBoxHeadWithProb (converter permutes torch fc0 rows)."""
         r = roi_feats.shape[0]
-        x = roi_feats.transpose(0, 3, 1, 2).reshape(r, -1)
+        x = roi_feats if roi_feats.ndim == 2 else roi_feats.reshape(r, -1)
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc0")(x))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc1")(x))
         cls_score = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="fc_cls")(x)

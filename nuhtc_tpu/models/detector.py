@@ -37,6 +37,7 @@ from nuhtc_tpu.models.bbox_head import Shared2FCBBoxHeadWithProb, seesaw_activat
 from nuhtc_tpu.models.mask_head import HTCMaskHead, FusedSemanticHead
 from nuhtc_tpu.models.roi_extractor import (
     attention_roi_features,
+    banded_stage_features,
     single_roi_features,
     adaptive_avg_pool_grid,
 )
@@ -87,6 +88,15 @@ class NuHTC(nn.Module):
     # exact=True: f32/HIGHEST RoI-op internals (CPU parity testing; the TPU
     # path keeps the bf16 fast mode)
     exact_rois: bool = False
+    # x-banded RoIAlign (ops/roi_align.py): inference sorts proposals by
+    # x-center so each 16-roi chunk contracts one roi_band-column window of
+    # the feature map instead of the full width — W/band fewer MXU FLOPs.
+    # RoIs wider than their chunk window are exactly recomputed dense through
+    # roi_overflow replacement slots. 0 disables (dense path everywhere);
+    # exact_rois=True also disables it. Train keeps the dense path (sampled
+    # train rois are target-aligned, not sortable).
+    roi_band: int = 32
+    roi_overflow: int = 128
     # _Lite_Fuse variant (reference htc_roi_head_cus.py:2919): adds an n-class
     # HTCSegBranch whose per-class watershed instances form the result
     lite_fuse: bool = False
@@ -179,55 +189,89 @@ class NuHTC(nn.Module):
         return None
 
     # ------------------------------------------------------------------ #
-    def _bbox_stage(self, stage: int, feats, semantic_feat, rois):
-        """Batched cascade stage. rois: (B, P, 4) → (cls (B,P,C+2), reg (B,P,4))."""
+    def _roi_band(self, banded: bool) -> int | None:
+        """x-band width for RoIAlign, or None for the dense path."""
+        if banded and not self.exact_rois and self.roi_band > 0:
+            return self.roi_band
+        return None
+
+    def _bbox_stage(self, stage: int, feats, semantic_feat, rois, banded: bool = False):
+        """Batched cascade stage. rois: (B, P, 4) → (cls (B,P,C+2), reg (B,P,4)).
+        ``banded=True``: rois are x-sorted → banded RoIAlign (see roi_band)."""
         b, p, _ = rois.shape
+        band = self._roi_band(banded)
 
-        def per_image(f_tuple, sem, r):
-            rf = attention_roi_features(
-                f_tuple,
-                r,
-                output_size=7,
-                sampling_ratio=2,
-                strides=self.strides,
-                start_level=self.attn_start_level,
-                thres=self.attn_thres,
-                exact=self.exact_rois,
-            )
-            # exact fusion of adaptive_avg_pool2d(RoIAlign14, 7) — pool_from
-            # doubles the adaptive sample grid instead of computing at 14²
-            sem_rf = single_roi_features(
-                sem, r, output_size=7, stride=self.strides[0], pool_from=14,
-                exact=self.exact_rois,
-            )
-            rf = rf + sem_rf
-            return rf
+        if band is not None:
+            # banded extraction with one union overflow repair per stage;
+            # returns flat (P, 7*7*C) which the head consumes directly
+            def per_image(f_tuple, sem, r):
+                return banded_stage_features(
+                    f_tuple, sem, r, output_size=7, sampling_ratio=2,
+                    strides=self.strides, start_level=self.attn_start_level,
+                    thres=self.attn_thres, band=band,
+                    overflow_slots=self.roi_overflow, sem_pool_from=14,
+                )
 
-        roi_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
-        roi_feats = roi_feats.reshape(b * p, 7, 7, -1)
+            roi_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
+            roi_feats = roi_feats.reshape(b * p, -1)
+        else:
+            def per_image(f_tuple, sem, r):
+                rf = attention_roi_features(
+                    f_tuple,
+                    r,
+                    output_size=7,
+                    sampling_ratio=2,
+                    strides=self.strides,
+                    start_level=self.attn_start_level,
+                    thres=self.attn_thres,
+                    exact=self.exact_rois,
+                )
+                # exact fusion of adaptive_avg_pool2d(RoIAlign14, 7) — pool_from
+                # doubles the adaptive sample grid instead of computing at 14²
+                sem_rf = single_roi_features(
+                    sem, r, output_size=7, stride=self.strides[0], pool_from=14,
+                    exact=self.exact_rois,
+                )
+                return rf + sem_rf
+
+            roi_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
+            roi_feats = roi_feats.reshape(b * p, 7, 7, -1)
         cls_score, bbox_pred = self.bbox_heads[stage](roi_feats)
         return cls_score.reshape(b, p, -1), bbox_pred.reshape(b, p, 4)
 
-    def _mask_forward(self, feats, semantic_feat, boxes):
+    def _mask_forward(self, feats, semantic_feat, boxes, banded: bool = False):
         """boxes: (B, D, 4) in network-input frame → mask probs (B, D, 28, 28)."""
         b, d, _ = boxes.shape
+        band = self._roi_band(banded)
 
-        def per_image(f_tuple, sem, r):
-            rf = attention_roi_features(
-                f_tuple,
-                r,
-                output_size=14,
-                sampling_ratio=0,
-                strides=self.strides,
-                start_level=self.attn_start_level,
-                thres=self.attn_thres,
-                exact=self.exact_rois,
-            )
-            sem_rf = single_roi_features(sem, r, output_size=14, stride=self.strides[0],
-                                         exact=self.exact_rois)
-            return rf + sem_rf
+        if band is not None:
+            def per_image(f_tuple, sem, r):
+                return banded_stage_features(
+                    f_tuple, sem, r, output_size=14, sampling_ratio=0,
+                    strides=self.strides, start_level=self.attn_start_level,
+                    thres=self.attn_thres, band=band,
+                    overflow_slots=self.roi_overflow,
+                )
 
-        mask_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
+            mask_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
+        else:
+            def per_image(f_tuple, sem, r):
+                rf = attention_roi_features(
+                    f_tuple,
+                    r,
+                    output_size=14,
+                    sampling_ratio=0,
+                    strides=self.strides,
+                    start_level=self.attn_start_level,
+                    thres=self.attn_thres,
+                    exact=self.exact_rois,
+                )
+                sem_rf = single_roi_features(sem, r, output_size=14,
+                                             stride=self.strides[0],
+                                             exact=self.exact_rois)
+                return rf + sem_rf
+
+            mask_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
         mask_feats = mask_feats.reshape(b * d, 14, 14, -1)
         if self.lite:
             logits = self.mask_head(
@@ -300,10 +344,21 @@ class NuHTC(nn.Module):
             rois_valid = prop_valid
 
         # --- cascade ------------------------------------------------------
+        # x-sort proposals once so banded RoIAlign chunks are spatially
+        # coherent; the order is kept through all stages (per-roi refinement
+        # preserves row identity) and NMS is order-independent, so nothing
+        # downstream needs unsorting.
+        if self._roi_band(True) is not None:
+            order = jnp.argsort(rois[..., 0] + rois[..., 2], axis=1)
+            rois = jnp.take_along_axis(rois, order[..., None], axis=1)
+            rois_valid = jnp.take_along_axis(rois_valid, order, axis=1)
+
         ms_scores = []
         bbox_pred = None
         for stage in range(self.num_stages):
-            cls_score, bbox_pred = self._bbox_stage(stage, feats, semantic_feat, rois)
+            cls_score, bbox_pred = self._bbox_stage(
+                stage, feats, semantic_feat, rois, banded=True
+            )
             ms_scores.append(cls_score)
             if stage < self.num_stages - 1:
                 rois = box_ops.delta2bbox(
@@ -322,7 +377,21 @@ class NuHTC(nn.Module):
 
         # --- mask branch ----------------------------------------------------
         mask_boxes = det["boxes"] * self.scale_factor  # back to input frame
-        mask_probs = self._mask_forward(feats, semantic_feat, mask_boxes)
+        if self._roi_band(True) is not None:
+            # NMS output is score-ordered; re-sort by x for banded extraction
+            # and unsort the mask probs back to detection order.
+            morder = jnp.argsort(mask_boxes[..., 0] + mask_boxes[..., 2], axis=1)
+            minv = jnp.argsort(morder, axis=1)
+            mask_probs = self._mask_forward(
+                feats, semantic_feat,
+                jnp.take_along_axis(mask_boxes, morder[..., None], axis=1),
+                banded=True,
+            )
+            mask_probs = jnp.take_along_axis(
+                mask_probs, minv[..., None, None], axis=1
+            )
+        else:
+            mask_probs = self._mask_forward(feats, semantic_feat, mask_boxes)
         det["mask_probs"] = mask_probs
         return det
 

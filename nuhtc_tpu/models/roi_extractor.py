@@ -31,9 +31,13 @@ def attention_roi_features(
     thres: float = 0.965926,
     max_grid: int = 8,
     exact: bool = False,
+    band: int | None = None,
+    overflow_slots: int = 128,
 ) -> jnp.ndarray:
     """→ (R, out, out, C). vmap over the batch axis for batched use.
-    ``exact=True`` forces f32/HIGHEST internals (parity testing)."""
+    ``exact=True`` forces f32/HIGHEST internals (parity testing).
+    ``band``: x-banded RoIAlign (see ops/roi_align.py) — pass rois sorted by
+    x-center for effect; exact for ≤ overflow_slots wide rois."""
     out = None
     for lvl, (feat, stride) in enumerate(zip(feats, strides)):
         if lvl < start_level:
@@ -45,6 +49,8 @@ def attention_roi_features(
                 sampling_ratio=sampling_ratio,
                 max_grid=max_grid,
                 exact=exact,
+                band=band,
+                overflow_slots=overflow_slots,
             )
         else:
             pooled = attention_pool(feat, rois, stride, thres, exact=exact)  # (R, C)
@@ -65,11 +71,91 @@ def single_roi_features(
     max_grid: int = 8,
     pool_from: int | None = None,
     exact: bool = False,
+    band: int | None = None,
+    overflow_slots: int = 128,
 ) -> jnp.ndarray:
     return roi_align(
         feat, rois, 1.0 / stride, output_size, sampling_ratio=sampling_ratio,
         max_grid=max_grid, pool_from=pool_from, exact=exact,
+        band=band, overflow_slots=overflow_slots,
     )
+
+
+def banded_stage_features(
+    feats: Sequence[jnp.ndarray],  # per-level (H, W, C) for ONE image
+    sem: jnp.ndarray,  # semantic branch feature (H0, W0, C)
+    rois: jnp.ndarray,  # (R, 4) — x-sorted by the caller for band coherence
+    output_size: int,
+    sampling_ratio: int,
+    strides: Sequence[int] = (4, 8, 16, 32),
+    start_level: int = 2,
+    thres: float = 0.965926,
+    max_grid: int = 8,
+    band: int = 32,
+    overflow_slots: int = 128,
+    sem_pool_from: int | None = None,
+) -> jnp.ndarray:
+    """Banded equivalent of ``attention_roi_features(...) +
+    single_roi_features(sem, ...)`` with ONE union overflow repair.
+
+    Each banded roi_align returns per-roi overflow flags instead of repairing
+    in-call; the union set is recomputed dense across all levels + the
+    semantic feature at once and merged into the summed result by a one-hot
+    matmul + select (a full-tensor scatter per level costs more than banding
+    saves — measured on v5e). Returns FLAT (R, out*out*C) in (i, j, c) order —
+    the bbox head consumes it directly (see models/bbox_head.py flatten
+    convention); the mask path reshapes to spatial.
+    """
+    r = rois.shape[0]
+    out = None
+    oflow = None
+    for lvl, (feat, stride) in enumerate(zip(feats, strides)):
+        if lvl < start_level:
+            t, f = roi_align(
+                feat, rois, 1.0 / stride, output_size,
+                sampling_ratio=sampling_ratio, max_grid=max_grid,
+                band=band, overflow_slots=overflow_slots, return_overflow=True,
+                flat_output=True,
+            )
+            oflow = f if oflow is None else (oflow | f)
+        else:
+            pooled = attention_pool(feat, rois, stride, thres)  # (R, C)
+            cc = pooled.shape[-1]
+            t = jnp.broadcast_to(
+                pooled[:, None, :], (r, output_size * output_size, cc)
+            ).reshape(r, output_size * output_size * cc)
+        out = t if out is None else out + t
+    sem_t, sem_f = roi_align(
+        sem, rois, 1.0 / strides[0], output_size,
+        sampling_ratio=0 if sem_pool_from else sampling_ratio,
+        max_grid=max_grid, pool_from=sem_pool_from,
+        band=band, overflow_slots=overflow_slots, return_overflow=True,
+        flat_output=True,
+    )
+    out = out + sem_t  # (R, out*out*C), (i, j, c) order
+    oflow = oflow | sem_f
+
+    k = min(overflow_slots, r)
+    if k:
+        slot = jnp.cumsum(oflow.astype(jnp.int32)) - 1
+        sel = oflow & (slot < k)
+        idx = jnp.nonzero(oflow, size=k, fill_value=r)[0]
+        sub_rois = rois[jnp.minimum(idx, r - 1)]
+        sub = attention_roi_features(
+            feats, sub_rois, output_size, sampling_ratio, strides=strides,
+            start_level=start_level, thres=thres, max_grid=max_grid,
+        ) + single_roi_features(
+            sem, sub_rois, output_size, stride=strides[0],
+            sampling_ratio=0 if sem_pool_from else sampling_ratio,
+            max_grid=max_grid, pool_from=sem_pool_from,
+        )
+        onehot = (slot[:, None] == jnp.arange(k)[None, :]) & sel[:, None]
+        repair = jnp.einsum(
+            "rk,kf->rf", onehot.astype(out.dtype), sub.reshape(k, -1),
+            preferred_element_type=jnp.float32,
+        ).astype(out.dtype)
+        out = jnp.where(sel[:, None], repair, out)
+    return out
 
 
 def multilevel_roi_features(

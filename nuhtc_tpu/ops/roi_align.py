@@ -35,9 +35,18 @@ def _interp_matrix(
     size: int,  # feature extent (H or W)
     max_grid: int,
     dtype=jnp.float32,
+    origin: jnp.ndarray | None = None,  # (R,) band start; None = full extent
+    n_cols: int | None = None,  # band width; None = size
 ) -> jnp.ndarray:
-    """Build (R, out_size, size) interpolation matrices for one axis."""
+    """Build (R, out_size, n_cols) interpolation matrices for one axis.
+
+    With ``origin``/``n_cols``, column j of roi r maps to feature index
+    ``origin[r] + j`` — a per-roi band of the full (R, out, size) matrix.
+    Weights falling outside the band are silently dropped (the banded
+    roi_align path detects and exactly repairs those rois)."""
     r = start.shape[0]
+    if n_cols is None:
+        n_cols = size
     i = jnp.arange(out_size, dtype=start.dtype)  # (out,)
     s = jnp.arange(max_grid, dtype=start.dtype)  # (max_grid,)
 
@@ -60,16 +69,21 @@ def _interp_matrix(
     yc = jnp.where(at_border, size - 1.0, yc)  # border: ly = 0
     w = jnp.where(out_of_range, 0.0, sample_w)
 
-    h_idx = jnp.arange(size, dtype=yc.dtype)  # (size,)
-    hat = jnp.maximum(0.0, 1.0 - jnp.abs(h_idx[None, None, None, :] - yc[..., None]))
+    h_idx = jnp.arange(n_cols, dtype=yc.dtype)  # (n_cols,)
+    if origin is not None:
+        h_idx = origin.astype(yc.dtype)[:, None, None, None] + h_idx
+    else:
+        h_idx = h_idx[None, None, None, :]
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(h_idx - yc[..., None]))
     mat = jnp.sum(hat * w[..., None], axis=2, dtype=jnp.float32)
-    return mat.astype(dtype)  # (R, out, size)
+    return mat.astype(dtype)  # (R, out, n_cols)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "output_size", "sampling_ratio", "max_grid", "chunk", "exact", "pool_from", "unroll"
+        "output_size", "sampling_ratio", "max_grid", "chunk", "exact", "pool_from",
+        "unroll", "band", "overflow_slots", "return_overflow", "flat_output",
     ),
 )
 def roi_align(
@@ -83,16 +97,34 @@ def roi_align(
     exact: bool = False,
     pool_from: int | None = None,
     unroll: int = 1,  # >1 multiplies live t1 buffers — VMEM spill at 512²/B16
+    band: int | None = None,  # x-band width (cols of W per chunk); None = dense
+    overflow_slots: int = 128,  # exact full-W repair capacity for wide rois
+    return_overflow: bool = False,  # return (out, overflow flags), skip repair
+    flat_output: bool = False,  # (banded only) emit (R, out*out*C), (i,j,c) order
 ) -> jnp.ndarray:
     """RoIAlign for one image. Returns (R, out, out, C).
 
     Invalid/padding rois are harmless (produce garbage rows the caller masks).
     vmap over the leading batch axis for batched use.
+
+    ``band``: x-banded mode. The dense formulation's cost is dominated by the
+    first contraction t1 = Sy @ F with N = W*C — every roi pays for the full
+    feature width although its bilinear support spans only ~roi_w/stride + 2
+    columns. With rois sorted by x-center (caller's job), each 16-roi chunk
+    reads one ``band``-column window of F (dynamic_slice at a sublane-aligned
+    start), cutting t1's N and t2's K by W/band at unchanged MXU efficiency.
+    RoIs whose support exceeds their chunk's window (wide boxes, unsorted
+    callers) are detected exactly and recomputed dense through
+    ``overflow_slots`` replacement slots — the result equals the dense path
+    up to f32 accumulation order whenever ≤ overflow_slots rois overflow
+    (guaranteed for any input when overflow_slots == R). Overflowing rois
+    beyond the slot capacity keep their banded (x-clipped) features.
     """
     h, w, c = feat.shape
     r = rois.shape[0]
     dtype = feat.dtype
 
+    rois_in = rois
     rois = rois.astype(jnp.float32)
     start_w = rois[:, 0] * spatial_scale - 0.5
     start_h = rois[:, 1] * spatial_scale - 0.5
@@ -122,9 +154,36 @@ def roi_align(
         grid_w = jnp.clip(jnp.ceil(roi_w / output_size), 1, max_grid).astype(jnp.int32)
         mg = max_grid
 
+    banded = band is not None and band < w and r > chunk and not exact
+
     # The interpolation matrices are cheap — build them exactly (f32).
     sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
-    sx = _interp_matrix(start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32)
+    if banded:
+        pad = (-r) % chunk
+        n_chunks = (r + pad) // chunk
+        # conservative x support: all samples lie in [start + half, start +
+        # out*bin - half]; after clipping, the hat of a sample at xc touches
+        # columns floor(xc) and floor(xc)+1.
+        gridf = grid_w.astype(jnp.float32)
+        half = 0.5 * bin_w / gridf
+        lo = jnp.clip(start_w + half, 0.0, w - 1.0)
+        hi = jnp.clip(start_w + output_size * bin_w - half, 0.0, w - 1.0)
+        lo_i = jnp.floor(lo)
+        hi_i = jnp.minimum(jnp.floor(hi) + 1.0, w - 1.0)
+        # chunk window start: min support col over the chunk, sublane-aligned
+        # down (8), clamped so the window stays in range. col0 <= lo_i for
+        # every roi in the chunk, so only the high side can overflow.
+        lo_pad = jnp.pad(lo_i, (0, pad), constant_values=float(w - 1))
+        col0 = jnp.min(lo_pad.reshape(n_chunks, chunk), axis=1)
+        col0 = (jnp.clip(col0, 0.0, float(w - band)) // 8 * 8).astype(jnp.int32)
+        col0_r = jnp.repeat(col0, chunk)[:r]  # (R,)
+        overflow = hi_i > (col0_r + band - 1).astype(jnp.float32)
+        sx = _interp_matrix(
+            start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32,
+            origin=col0_r, n_cols=band,
+        )
+    else:
+        sx = _interp_matrix(start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32)
 
     # The feature contractions are the hot path: bf16 on the MXU with f32
     # accumulation by default; ``exact=True`` keeps everything f32 (for
@@ -138,6 +197,78 @@ def roi_align(
     featc = feat.astype(cdtype)
 
     t1_type = jnp.float32 if exact else jnp.bfloat16  # halve t1 HBM traffic
+
+    if banded:
+        # scan over chunks; each reads one band-column window of F. t1 keeps
+        # the shared-F big-M structure (M = chunk*out, K = H) with N cut to
+        # band*C; t2's K drops from W to band. F is pre-transposed to
+        # (W, H, C) so the per-chunk window is a contiguous major-dim slice
+        # (the transpose is loop-invariant — hoisted and paid once).
+        feat_t = featc.transpose(1, 0, 2)  # (W, H, C)
+        sy_p = jnp.pad(sy, ((0, pad), (0, 0), (0, 0)))
+        sx_p = jnp.pad(sx, ((0, pad), (0, 0), (0, 0)))
+        sy_p = sy_p.reshape(n_chunks, chunk, output_size, h)
+        sx_p = sx_p.reshape(n_chunks, chunk, output_size, band)
+
+        def one_banded(args):
+            sy_c, sx_c, c0 = args
+            fb = jax.lax.dynamic_slice(feat_t, (c0, 0, 0), (band, h, c))
+            t1 = jnp.einsum(
+                "rih,bhc->ribc", sy_c.astype(cdtype), fb,
+                precision=prec, preferred_element_type=t1_type,
+            )
+            t2 = jnp.einsum(
+                "rjb,ribc->rijc", sx_c.astype(cdtype), t1.astype(cdtype),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            # cast in-body: keeps the stacked scan output (and every layout
+            # copy downstream) at the narrow dtype instead of f32
+            t2 = t2.astype(dtype)
+            if flat_output:
+                # flatten (i, j, c) in-body (cheap VMEM repack per chunk) so
+                # the stacked scan output is clean (R, 3136)-row tiles — the
+                # post-hoc relayout of [chunks,chunk,7,7,64] into head-ready
+                # rows cost ~15 ms/step at B16 (measured)
+                t2 = t2.reshape(chunk, output_size * output_size * c)
+            return t2
+
+        _, out = jax.lax.scan(
+            lambda _, args: (None, one_banded(args)), None, (sy_p, sx_p, col0)
+        )
+        if flat_output:
+            out = out.reshape(-1, output_size * output_size * c)[:r]
+        else:
+            out = out.reshape(-1, output_size, output_size, c)[:r]
+        if return_overflow:
+            # caller handles repair (e.g. one union repair over summed levels
+            # — roi_extractor.banded_stage_features)
+            return out.astype(dtype), overflow
+        if overflow_slots:
+            # exact repair: recompute overflowing rois through the dense path
+            # and merge the replacements with a one-hot matmul + select —
+            # scatters/gathers lower poorly on TPU, while a (R, slots) one-hot
+            # dot is a trivially MXU-shaped copy that reproduces the dense
+            # values exactly (one nonzero product per output row).
+            k = min(overflow_slots, r)
+            slot = jnp.cumsum(overflow.astype(jnp.int32)) - 1  # (R,)
+            sel = overflow & (slot < k)
+            idx = jnp.nonzero(overflow, size=k, fill_value=r)[0]
+            sub_rois = rois_in[jnp.minimum(idx, r - 1)]
+            sub = roi_align(
+                feat, sub_rois, spatial_scale, output_size,
+                sampling_ratio=sampling_ratio, max_grid=max_grid, chunk=chunk,
+                exact=exact, pool_from=pool_from, unroll=unroll,
+            )
+            onehot = (slot[:, None] == jnp.arange(k)[None, :]) & sel[:, None]
+            repair = jnp.einsum(
+                "rk,kf->rf",
+                onehot.astype(cdtype),
+                sub.reshape(k, -1).astype(cdtype),
+                precision=prec, preferred_element_type=jnp.float32,
+            ).astype(out.dtype).reshape(out.shape)
+            selb = sel[:, None] if flat_output else sel[:, None, None, None]
+            out = jnp.where(selb, repair, out)
+        return out.astype(dtype)
 
     def one_chunk(args):
         sy_c, sx_c = args  # (chunk, out, H), (chunk, out, W)
@@ -169,6 +300,10 @@ def roi_align(
             unroll=min(unroll, n_chunks),
         )
         out = out.reshape(-1, output_size, output_size, c)[:r]
+    if flat_output:
+        out = out.reshape(r, output_size * output_size * c)
+    if return_overflow:  # dense path never overflows
+        return out.astype(dtype), jnp.zeros((r,), bool)
     return out.astype(dtype)
 
 

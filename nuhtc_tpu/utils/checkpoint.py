@@ -71,6 +71,19 @@ def _lin_w(w):  # (O, I) → (I, O)
     return np.transpose(w)
 
 
+def _roi_fc_w(w, roi_size: int = 7):
+    """First fc over roi features: torch flattens (c, i, j) but our heads
+    flatten (i, j, c) — the natural NHWC minor order, avoiding a per-step
+    activation transpose (models/bbox_head.py). (O, C*S*S) → (S*S*C, O)
+    with rows permuted accordingly."""
+    o, cin = w.shape
+    c = cin // (roi_size * roi_size)
+    w = w.reshape(o, c, roi_size, roi_size)
+    return np.ascontiguousarray(
+        np.transpose(w, (2, 3, 1, 0)).reshape(cin, o)
+    )
+
+
 def map_torch_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     """mmdet NuHTC state-dict key → (flax path, transform fn). None = skip."""
     t_conv, t_deconv, t_lin, t_id = _conv_w, _deconv_w, _lin_w, lambda x: x
@@ -164,8 +177,11 @@ def map_torch_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
             s = int(parts[2])
             base = ("bbox_heads_%d" % s,)
             if parts[3] == "shared_fcs":
+                # fc0 consumes flattened roi features: permute torch's
+                # (c, i, j) row order to our (i, j, c) convention
+                t_fc = _roi_fc_w if parts[4] == "0" else t_lin
                 return base + (f"shared_fc{parts[4]}", leaf(parts[5])), (
-                    t_lin if parts[5] == "weight" else t_id
+                    t_fc if parts[5] == "weight" else t_id
                 )
             if parts[3] in ("fc_cls", "fc_reg"):
                 return base + (parts[3], leaf(parts[4])), (t_lin if parts[4] == "weight" else t_id)
