@@ -18,7 +18,9 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from nuhtc_tpu.ops.roi_align import roi_align, attention_pool
+from nuhtc_tpu.ops.roi_align import (
+    roi_align, attention_pool, banded_plan, banded_chunk_t2,
+)
 
 
 def attention_roi_features(
@@ -96,44 +98,66 @@ def banded_stage_features(
     sem_pool_from: int | None = None,
 ) -> jnp.ndarray:
     """Banded equivalent of ``attention_roi_features(...) +
-    single_roi_features(sem, ...)`` with ONE union overflow repair.
+    single_roi_features(sem, ...)`` — ONE fused scan, ONE union overflow
+    repair.
 
-    Each banded roi_align returns per-roi overflow flags instead of repairing
-    in-call; the union set is recomputed dense across all levels + the
-    semantic feature at once and merged into the summed result by a one-hot
-    matmul + select (a full-tensor scatter per level costs more than banding
-    saves — measured on v5e). Returns FLAT (R, out*out*C) in (i, j, c) order —
-    the bbox head consumes it directly (see models/bbox_head.py flatten
-    convention); the mask path reshapes to spatial.
+    All banded levels (fine pyramid levels + semantic) run inside a single
+    lax.scan whose body contracts every level's band window for one roi chunk
+    and accumulates in-body. Per-roi overflow flags are unioned across levels
+    and the union set is recomputed dense at once, merged into the summed
+    result by a one-hot matmul + select (a full-tensor scatter per level
+    costs more than banding saves — measured on v5e). Returns FLAT
+    (R, out*out*C) in (i, j, c) order — the bbox head consumes it directly
+    (see models/bbox_head.py flatten convention); the mask path reshapes to
+    spatial.
     """
     r = rois.shape[0]
-    out = None
-    oflow = None
-    for lvl, (feat, stride) in enumerate(zip(feats, strides)):
-        if lvl < start_level:
-            t, f = roi_align(
-                feat, rois, 1.0 / stride, output_size,
-                sampling_ratio=sampling_ratio, max_grid=max_grid,
-                band=band, overflow_slots=overflow_slots, return_overflow=True,
-                flat_output=True,
-            )
-            oflow = f if oflow is None else (oflow | f)
-        else:
-            pooled = attention_pool(feat, rois, stride, thres)  # (R, C)
-            cc = pooled.shape[-1]
-            t = jnp.broadcast_to(
-                pooled[:, None, :], (r, output_size * output_size, cc)
-            ).reshape(r, output_size * output_size * cc)
-        out = t if out is None else out + t
-    sem_t, sem_f = roi_align(
-        sem, rois, 1.0 / strides[0], output_size,
-        sampling_ratio=0 if sem_pool_from else sampling_ratio,
-        max_grid=max_grid, pool_from=sem_pool_from,
-        band=band, overflow_slots=overflow_slots, return_overflow=True,
-        flat_output=True,
-    )
-    out = out + sem_t  # (R, out*out*C), (i, j, c) order
-    oflow = oflow | sem_f
+    chunk = 16
+    dtype = feats[0].dtype
+    cdtype = jnp.bfloat16
+
+    # Banded inputs — the fine pyramid levels plus the semantic feature —
+    # share rois and chunking, so all of them run in ONE lax.scan: each
+    # iteration contracts every level's band window for one 16-roi chunk and
+    # sums in-body. vs one scan per level this cuts scan trip counts 3×,
+    # drops two stacked (R, flat) intermediates per stage, and gives XLA one
+    # fused loop body instead of three.
+    specs = [
+        (feats[lvl], 1.0 / strides[lvl], sampling_ratio, None)
+        for lvl in range(start_level)
+    ] + [(sem, 1.0 / strides[0], 0 if sem_pool_from else sampling_ratio, sem_pool_from)]
+
+    plans, feats_t, bands = [], [], []
+    oflow = jnp.zeros((r,), bool)
+    for f, ss, sr, pf in specs:
+        sy, sx, col0, of, b_eff = banded_plan(
+            f.shape, rois, ss, output_size, sampling_ratio=sr,
+            max_grid=max_grid, chunk=chunk, band=band, pool_from=pf,
+        )
+        plans.append((sy, sx, col0))
+        feats_t.append(f.astype(cdtype).transpose(1, 0, 2))  # (W, H, C)
+        bands.append(b_eff)
+        oflow = oflow | of
+
+    c = feats_t[0].shape[-1]
+    flat = output_size * output_size * c
+
+    def body(_, xs):
+        acc = jnp.zeros((chunk, flat), jnp.float32)
+        for ft, b_eff, (sy_c, sx_c, c0) in zip(feats_t, bands, xs):
+            t2 = banded_chunk_t2(ft, sy_c, sx_c, c0, b_eff, cdtype=cdtype)
+            acc = acc + t2.reshape(chunk, flat)
+        return None, acc.astype(dtype)
+
+    _, out = jax.lax.scan(body, None, tuple(plans))
+    out = out.reshape(-1, flat)[:r]  # (R, out*out*C), (i, j, c) order
+
+    # attention-pooled coarse levels: per-roi constants, added post-scan
+    for lvl in range(start_level, len(feats)):
+        pooled = attention_pool(feats[lvl], rois, strides[lvl], thres)  # (R, C)
+        out = out + jnp.broadcast_to(
+            pooled[:, None, :], (r, output_size * output_size, c)
+        ).reshape(r, flat)
 
     k = min(overflow_slots, r)
     if k:

@@ -79,6 +79,123 @@ def _interp_matrix(
     return mat.astype(dtype)  # (R, out, n_cols)
 
 
+def _geometry(rois, spatial_scale, output_size, sampling_ratio, max_grid, pool_from):
+    """Per-roi sampling geometry shared by the dense and banded paths.
+    → (start_h, bin_h, grid_h, start_w, bin_w, grid_w, mg)."""
+    r = rois.shape[0]
+    rois = rois.astype(jnp.float32)
+    start_w = rois[:, 0] * spatial_scale - 0.5
+    start_h = rois[:, 1] * spatial_scale - 0.5
+    roi_w = rois[:, 2] * spatial_scale - 0.5 - start_w
+    roi_h = rois[:, 3] * spatial_scale - 0.5 - start_h
+    bin_w = roi_w / output_size
+    bin_h = roi_h / output_size
+
+    if pool_from is not None:
+        # exact fusion of adaptive_avg_pool2d(RoIAlign(pool_from, sr=0), out):
+        # pooling k×k bins of the fine grid equals sampling k·ceil(roi/pool_from)
+        # points per coarse bin (identical sample set, see ops docstring) —
+        # halves the t1 intermediate vs computing at pool_from resolution.
+        assert pool_from % output_size == 0 and sampling_ratio == 0
+        k = pool_from // output_size
+        grid_h = (k * jnp.clip(jnp.ceil(roi_h / pool_from), 1, max_grid)).astype(jnp.int32)
+        grid_w = (k * jnp.clip(jnp.ceil(roi_w / pool_from), 1, max_grid)).astype(jnp.int32)
+        mg = k * max_grid
+    elif sampling_ratio > 0:
+        grid_h = jnp.full((r,), sampling_ratio, dtype=jnp.int32)
+        grid_w = grid_h
+        mg = sampling_ratio
+    else:
+        grid_h = jnp.clip(jnp.ceil(roi_h / output_size), 1, max_grid).astype(jnp.int32)
+        grid_w = jnp.clip(jnp.ceil(roi_w / output_size), 1, max_grid).astype(jnp.int32)
+        mg = max_grid
+    return start_h, bin_h, grid_h, start_w, bin_w, grid_w, mg
+
+
+def banded_plan(
+    feat_shape: tuple,  # (H, W, C)
+    rois: jnp.ndarray,  # (R, 4)
+    spatial_scale: float,
+    output_size: int,
+    sampling_ratio: int = 0,
+    max_grid: int = 8,
+    chunk: int = 16,
+    band: int = 32,
+    pool_from: int | None = None,
+):
+    """Chunked x-banded interpolation inputs for one pyramid level.
+
+    Returns (sy, sx, col0, overflow, band_eff):
+      sy (n_chunks, chunk, out, H) f32 — full-height y-interp matrices
+      sx (n_chunks, chunk, out, band_eff) f32 — banded x-interp matrices
+      col0 (n_chunks,) i32 — window start column per chunk (8-aligned)
+      overflow (R,) bool — rois whose x support exceeds their chunk window
+      band_eff = min(band, W) (band == W degenerates to dense, no overflow)
+
+    The caller owns the scan — this enables fusing several levels into one
+    loop (roi_extractor.banded_stage_features)."""
+    h, w, _ = feat_shape
+    r = rois.shape[0]
+    band = min(band, w)
+    start_h, bin_h, grid_h, start_w, bin_w, grid_w, mg = _geometry(
+        rois, spatial_scale, output_size, sampling_ratio, max_grid, pool_from
+    )
+    pad = (-r) % chunk
+    n_chunks = (r + pad) // chunk
+
+    # conservative x support: all samples lie in [start + half, start +
+    # out*bin - half]; after clipping, the hat of a sample at xc touches
+    # columns floor(xc) and floor(xc)+1.
+    gridf = grid_w.astype(jnp.float32)
+    half = 0.5 * bin_w / gridf
+    lo = jnp.clip(start_w + half, 0.0, w - 1.0)
+    hi = jnp.clip(start_w + output_size * bin_w - half, 0.0, w - 1.0)
+    lo_i = jnp.floor(lo)
+    hi_i = jnp.minimum(jnp.floor(hi) + 1.0, w - 1.0)
+    # chunk window start: min support col over the chunk, sublane-aligned
+    # down (8), clamped so the window stays in range. col0 <= lo_i for
+    # every roi in the chunk, so only the high side can overflow.
+    lo_pad = jnp.pad(lo_i, (0, pad), constant_values=float(w - 1))
+    col0 = jnp.min(lo_pad.reshape(n_chunks, chunk), axis=1)
+    col0 = (jnp.clip(col0, 0.0, float(w - band)) // 8 * 8).astype(jnp.int32)
+    col0_r = jnp.repeat(col0, chunk)[:r]  # (R,)
+    overflow = hi_i > (col0_r + band - 1).astype(jnp.float32)
+
+    sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
+    sx = _interp_matrix(
+        start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32,
+        origin=col0_r, n_cols=band,
+    )
+    sy = jnp.pad(sy, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, output_size, h)
+    sx = jnp.pad(sx, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, output_size, band)
+    return sy, sx, col0, overflow, band
+
+
+def banded_chunk_t2(
+    feat_t: jnp.ndarray,  # (W, H, C) pre-transposed, compute dtype
+    sy_c: jnp.ndarray,  # (chunk, out, H)
+    sx_c: jnp.ndarray,  # (chunk, out, band)
+    c0: jnp.ndarray,  # scalar i32 window start
+    band: int,
+    cdtype=jnp.bfloat16,
+    prec=jax.lax.Precision.DEFAULT,
+    t1_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """One banded chunk: → (chunk, out, out, C) f32. t1 keeps the shared-F
+    big-M structure (M = chunk*out, K = H) with N cut to band*C; t2's K is
+    band. feat_t's window slice is a contiguous major-dim dynamic_slice."""
+    w, h, c = feat_t.shape
+    fb = jax.lax.dynamic_slice(feat_t, (c0, 0, 0), (band, h, c))
+    t1 = jnp.einsum(
+        "rih,bhc->ribc", sy_c.astype(cdtype), fb,
+        precision=prec, preferred_element_type=t1_dtype,
+    )
+    return jnp.einsum(
+        "rjb,ribc->rijc", sx_c.astype(cdtype), t1.astype(cdtype),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -125,65 +242,7 @@ def roi_align(
     dtype = feat.dtype
 
     rois_in = rois
-    rois = rois.astype(jnp.float32)
-    start_w = rois[:, 0] * spatial_scale - 0.5
-    start_h = rois[:, 1] * spatial_scale - 0.5
-    end_w = rois[:, 2] * spatial_scale - 0.5
-    end_h = rois[:, 3] * spatial_scale - 0.5
-    roi_w = end_w - start_w
-    roi_h = end_h - start_h
-    bin_w = roi_w / output_size
-    bin_h = roi_h / output_size
-
-    if pool_from is not None:
-        # exact fusion of adaptive_avg_pool2d(RoIAlign(pool_from, sr=0), out):
-        # pooling k×k bins of the fine grid equals sampling k·ceil(roi/pool_from)
-        # points per coarse bin (identical sample set, see ops docstring) —
-        # halves the t1 intermediate vs computing at pool_from resolution.
-        assert pool_from % output_size == 0 and sampling_ratio == 0
-        k = pool_from // output_size
-        grid_h = (k * jnp.clip(jnp.ceil(roi_h / pool_from), 1, max_grid)).astype(jnp.int32)
-        grid_w = (k * jnp.clip(jnp.ceil(roi_w / pool_from), 1, max_grid)).astype(jnp.int32)
-        mg = k * max_grid
-    elif sampling_ratio > 0:
-        grid_h = jnp.full((r,), sampling_ratio, dtype=jnp.int32)
-        grid_w = grid_h
-        mg = sampling_ratio
-    else:
-        grid_h = jnp.clip(jnp.ceil(roi_h / output_size), 1, max_grid).astype(jnp.int32)
-        grid_w = jnp.clip(jnp.ceil(roi_w / output_size), 1, max_grid).astype(jnp.int32)
-        mg = max_grid
-
     banded = band is not None and band < w and r > chunk and not exact
-
-    # The interpolation matrices are cheap — build them exactly (f32).
-    sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
-    if banded:
-        pad = (-r) % chunk
-        n_chunks = (r + pad) // chunk
-        # conservative x support: all samples lie in [start + half, start +
-        # out*bin - half]; after clipping, the hat of a sample at xc touches
-        # columns floor(xc) and floor(xc)+1.
-        gridf = grid_w.astype(jnp.float32)
-        half = 0.5 * bin_w / gridf
-        lo = jnp.clip(start_w + half, 0.0, w - 1.0)
-        hi = jnp.clip(start_w + output_size * bin_w - half, 0.0, w - 1.0)
-        lo_i = jnp.floor(lo)
-        hi_i = jnp.minimum(jnp.floor(hi) + 1.0, w - 1.0)
-        # chunk window start: min support col over the chunk, sublane-aligned
-        # down (8), clamped so the window stays in range. col0 <= lo_i for
-        # every roi in the chunk, so only the high side can overflow.
-        lo_pad = jnp.pad(lo_i, (0, pad), constant_values=float(w - 1))
-        col0 = jnp.min(lo_pad.reshape(n_chunks, chunk), axis=1)
-        col0 = (jnp.clip(col0, 0.0, float(w - band)) // 8 * 8).astype(jnp.int32)
-        col0_r = jnp.repeat(col0, chunk)[:r]  # (R,)
-        overflow = hi_i > (col0_r + band - 1).astype(jnp.float32)
-        sx = _interp_matrix(
-            start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32,
-            origin=col0_r, n_cols=band,
-        )
-    else:
-        sx = _interp_matrix(start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32)
 
     # The feature contractions are the hot path: bf16 on the MXU with f32
     # accumulation by default; ``exact=True`` keeps everything f32 (for
@@ -199,27 +258,21 @@ def roi_align(
     t1_type = jnp.float32 if exact else jnp.bfloat16  # halve t1 HBM traffic
 
     if banded:
-        # scan over chunks; each reads one band-column window of F. t1 keeps
-        # the shared-F big-M structure (M = chunk*out, K = H) with N cut to
-        # band*C; t2's K drops from W to band. F is pre-transposed to
-        # (W, H, C) so the per-chunk window is a contiguous major-dim slice
-        # (the transpose is loop-invariant — hoisted and paid once).
+        # scan over chunks; each reads one band-column window of F (see
+        # banded_plan / banded_chunk_t2). F is pre-transposed to (W, H, C) so
+        # the window is a contiguous major-dim slice (loop-invariant, hoisted).
+        sy_p, sx_p, col0, overflow, band = banded_plan(
+            feat.shape, rois_in, spatial_scale, output_size,
+            sampling_ratio=sampling_ratio, max_grid=max_grid, chunk=chunk,
+            band=band, pool_from=pool_from,
+        )
         feat_t = featc.transpose(1, 0, 2)  # (W, H, C)
-        sy_p = jnp.pad(sy, ((0, pad), (0, 0), (0, 0)))
-        sx_p = jnp.pad(sx, ((0, pad), (0, 0), (0, 0)))
-        sy_p = sy_p.reshape(n_chunks, chunk, output_size, h)
-        sx_p = sx_p.reshape(n_chunks, chunk, output_size, band)
 
         def one_banded(args):
             sy_c, sx_c, c0 = args
-            fb = jax.lax.dynamic_slice(feat_t, (c0, 0, 0), (band, h, c))
-            t1 = jnp.einsum(
-                "rih,bhc->ribc", sy_c.astype(cdtype), fb,
-                precision=prec, preferred_element_type=t1_type,
-            )
-            t2 = jnp.einsum(
-                "rjb,ribc->rijc", sx_c.astype(cdtype), t1.astype(cdtype),
-                precision=prec, preferred_element_type=jnp.float32,
+            t2 = banded_chunk_t2(
+                feat_t, sy_c, sx_c, c0, band,
+                cdtype=cdtype, prec=prec, t1_dtype=t1_type,
             )
             # cast in-body: keeps the stacked scan output (and every layout
             # copy downstream) at the narrow dtype instead of f32
@@ -269,6 +322,13 @@ def roi_align(
             selb = sel[:, None] if flat_output else sel[:, None, None, None]
             out = jnp.where(selb, repair, out)
         return out.astype(dtype)
+
+    start_h, bin_h, grid_h, start_w, bin_w, grid_w, mg = _geometry(
+        rois_in, spatial_scale, output_size, sampling_ratio, max_grid, pool_from
+    )
+    # The interpolation matrices are cheap — build them exactly (f32).
+    sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
+    sx = _interp_matrix(start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32)
 
     def one_chunk(args):
         sy_c, sx_c = args  # (chunk, out, H), (chunk, out, W)
