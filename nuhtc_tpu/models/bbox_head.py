@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nuhtc_tpu.registry import HEADS
-from nuhtc_tpu.models.layers import NormedLinear
+from nuhtc_tpu.models.layers import DenseParams, NormedLinear
 
 Dtype = Any
 
@@ -41,17 +41,32 @@ class Shared2FCBBoxHeadWithProb(nn.Module):
         return self.num_classes + 2  # Seesaw: classes + (pos, neg) objectness
 
     @nn.compact
-    def __call__(self, roi_feats: jnp.ndarray):
+    def __call__(self, roi_feats, fc0_pre: jnp.ndarray | None = None,
+                 return_fc0: bool = False):
         """roi_feats: (R, S, S, C) or pre-flattened (R, S*S*C) in (i, j, c)
         order → (cls_score (R, C+2), bbox_pred (R, 4)).
 
         Flattening is (i, j, c) — the natural NHWC minor order, so no
         activation transpose (a measured ~9 ms/step relayout at B16×1512
         rois). Torch checkpoints flatten (c, i, j); the converter permutes
-        the shared_fc0 weight rows instead (utils/checkpoint.py _roi_fc_w)."""
-        r = roi_feats.shape[0]
-        x = roi_feats if roi_feats.ndim == 2 else roi_feats.reshape(r, -1)
-        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc0")(x))
+        the shared_fc0 weight rows instead (utils/checkpoint.py _roi_fc_w).
+
+        Split-fc0 modes (the banded RoI scan folds the shared_fc0 matmul
+        into its loop body so the (R, S*S*C) features never materialize —
+        see roi_extractor.banded_stage_features ``fc0_kernel``):
+          ``return_fc0=True`` → returns (kernel (S*S*C, F), bias (F,)).
+          ``fc0_pre`` (R, F) pre-bias fc0 outputs → completes the head."""
+        in_feat = self.in_channels * self.roi_feat_size**2
+        w0, b0 = DenseParams(in_feat, self.fc_out_channels, name="shared_fc0")()
+        if return_fc0:
+            return w0, b0
+        dt = self.dtype
+        if fc0_pre is not None:
+            x = nn.relu((fc0_pre + b0).astype(dt))
+        else:
+            r = roi_feats.shape[0]
+            x = roi_feats if roi_feats.ndim == 2 else roi_feats.reshape(r, -1)
+            x = nn.relu(jnp.dot(x.astype(dt), w0.astype(dt)) + b0.astype(dt))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype, name="shared_fc1")(x))
         cls_score = NormedLinear(
             features=self.cls_channels,

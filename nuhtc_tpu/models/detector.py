@@ -202,18 +202,26 @@ class NuHTC(nn.Module):
         band = self._roi_band(banded)
 
         if band is not None:
-            # banded extraction with one union overflow repair per stage;
-            # returns flat (P, 7*7*C) which the head consumes directly
+            # banded extraction with one union overflow repair per stage; the
+            # head's shared_fc0 matmul is folded into the scan body so the
+            # (B*P, 7*7*C) activation never materializes (bbox_head.py
+            # split-fc0 modes)
+            w0, _ = self.bbox_heads[stage](None, return_fc0=True)
+
             def per_image(f_tuple, sem, r):
                 return banded_stage_features(
                     f_tuple, sem, r, output_size=7, sampling_ratio=2,
                     strides=self.strides, start_level=self.attn_start_level,
                     thres=self.attn_thres, band=band,
                     overflow_slots=self.roi_overflow, sem_pool_from=14,
+                    fc0_kernel=w0,
                 )
 
-            roi_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
-            roi_feats = roi_feats.reshape(b * p, -1)
+            fc0_pre = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
+            cls_score, bbox_pred = self.bbox_heads[stage](
+                None, fc0_pre=fc0_pre.reshape(b * p, -1)
+            )
+            return cls_score.reshape(b, p, -1), bbox_pred.reshape(b, p, 4)
         else:
             def per_image(f_tuple, sem, r):
                 rf = attention_roi_features(

@@ -44,6 +44,31 @@ class ConvModule(nn.Module):
         return x
 
 
+class DenseParams(nn.Module):
+    """Parameter holder with an nn.Dense-compatible tree (kernel/bias) so the
+    same weights can feed a standard matmul, a fused Pallas kernel, or a
+    split computation (e.g. fc0 folded into the banded RoI scan)."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features_out,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
 class NormedLinear(nn.Module):
     """L2-normalized linear classifier with temperature (Seesaw predictor).
 

@@ -96,6 +96,7 @@ def banded_stage_features(
     band: int = 32,
     overflow_slots: int = 128,
     sem_pool_from: int | None = None,
+    fc0_kernel: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Banded equivalent of ``attention_roi_features(...) +
     single_roi_features(sem, ...)`` — ONE fused scan, ONE union overflow
@@ -110,6 +111,14 @@ def banded_stage_features(
     (R, out*out*C) in (i, j, c) order — the bbox head consumes it directly
     (see models/bbox_head.py flatten convention); the mask path reshapes to
     spatial.
+
+    ``fc0_kernel`` (out*out*C, F): fold the bbox head's shared_fc0 matmul
+    into the scan body — each chunk completes its feature (band levels +
+    attention-pool contribution, moved inside the loop) and immediately
+    contracts with fc0, so the (R, out*out*C) activation never materializes
+    (it cost ~3 ms/stage of HBM traffic + layout copies at B16×1512 rois).
+    Returns (R, F) f32 pre-bias outputs; exact vs the unfused path by
+    linearity (repair happens in fc0-output space).
     """
     r = rois.shape[0]
     chunk = 16
@@ -141,23 +150,53 @@ def banded_stage_features(
 
     c = feats_t[0].shape[-1]
     flat = output_size * output_size * c
+    n_chunks = plans[0][0].shape[0]
 
-    def body(_, xs):
-        acc = jnp.zeros((chunk, flat), jnp.float32)
-        for ft, b_eff, (sy_c, sx_c, c0) in zip(feats_t, bands, xs):
-            t2 = banded_chunk_t2(ft, sy_c, sx_c, c0, b_eff, cdtype=cdtype)
-            acc = acc + t2.reshape(chunk, flat)
-        return None, acc.astype(dtype)
-
-    _, out = jax.lax.scan(body, None, tuple(plans))
-    out = out.reshape(-1, flat)[:r]  # (R, out*out*C), (i, j, c) order
-
-    # attention-pooled coarse levels: per-roi constants, added post-scan
+    # attention-pooled coarse levels: per-roi constants over the grid
+    pooled = None
     for lvl in range(start_level, len(feats)):
-        pooled = attention_pool(feats[lvl], rois, strides[lvl], thres)  # (R, C)
-        out = out + jnp.broadcast_to(
-            pooled[:, None, :], (r, output_size * output_size, c)
-        ).reshape(r, flat)
+        p = attention_pool(feats[lvl], rois, strides[lvl], thres)  # (R, C)
+        pooled = p if pooled is None else pooled + p
+
+    if fc0_kernel is not None:
+        # complete each chunk's feature in-body and contract with fc0 —
+        # the scan emits (chunk, F) rows, never the (R, flat) activation
+        pad = n_chunks * chunk - r
+        if pooled is None:
+            pooled = jnp.zeros((r, c), jnp.float32)
+        pooled_c = jnp.pad(pooled.astype(jnp.float32), ((0, pad), (0, 0)))
+        pooled_c = pooled_c.reshape(n_chunks, chunk, c)
+        w0 = fc0_kernel.astype(cdtype)
+
+        def body_fc0(_, xs):
+            *level_xs, p_c = xs
+            acc = jnp.zeros((chunk, output_size * output_size, c), jnp.float32)
+            for ft, b_eff, (sy_c, sx_c, c0) in zip(feats_t, bands, level_xs):
+                t2 = banded_chunk_t2(ft, sy_c, sx_c, c0, b_eff, cdtype=cdtype)
+                acc = acc + t2.reshape(chunk, output_size * output_size, c)
+            acc = acc + p_c[:, None, :]
+            y = jnp.dot(
+                acc.reshape(chunk, flat).astype(cdtype), w0,
+                preferred_element_type=jnp.float32,
+            )
+            return None, y
+
+        _, out = jax.lax.scan(body_fc0, None, tuple(plans) + (pooled_c,))
+        out = out.reshape(-1, w0.shape[-1])[:r]  # (R, F) f32
+    else:
+        def body(_, xs):
+            acc = jnp.zeros((chunk, flat), jnp.float32)
+            for ft, b_eff, (sy_c, sx_c, c0) in zip(feats_t, bands, xs):
+                t2 = banded_chunk_t2(ft, sy_c, sx_c, c0, b_eff, cdtype=cdtype)
+                acc = acc + t2.reshape(chunk, flat)
+            return None, acc.astype(dtype)
+
+        _, out = jax.lax.scan(body, None, tuple(plans))
+        out = out.reshape(-1, flat)[:r]  # (R, out*out*C), (i, j, c) order
+        if pooled is not None:
+            out = out + jnp.broadcast_to(
+                pooled[:, None, :], (r, output_size * output_size, c)
+            ).reshape(r, flat)
 
     k = min(overflow_slots, r)
     if k:
@@ -173,9 +212,15 @@ def banded_stage_features(
             sampling_ratio=0 if sem_pool_from else sampling_ratio,
             max_grid=max_grid, pool_from=sem_pool_from,
         )
+        sub = sub.reshape(k, -1)
+        if fc0_kernel is not None:
+            # repair in fc0-output space — exact by linearity
+            sub = jnp.dot(
+                sub.astype(cdtype), w0, preferred_element_type=jnp.float32
+            )
         onehot = (slot[:, None] == jnp.arange(k)[None, :]) & sel[:, None]
         repair = jnp.einsum(
-            "rk,kf->rf", onehot.astype(out.dtype), sub.reshape(k, -1),
+            "rk,kf->rf", onehot.astype(out.dtype), sub,
             preferred_element_type=jnp.float32,
         ).astype(out.dtype)
         out = jnp.where(sel[:, None], repair, out)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nuhtc_tpu.registry import BACKBONES
-from nuhtc_tpu.models.layers import MLP, drop_path
+from nuhtc_tpu.models.layers import MLP, drop_path, DenseParams as _DenseParams
 
 Dtype = Any
 
@@ -37,30 +37,6 @@ def _rel_position_index(ws: int) -> np.ndarray:
     rel[:, :, 1] += ws - 1
     rel[:, :, 0] *= 2 * ws - 1
     return rel.sum(-1)
-
-
-class _DenseParams(nn.Module):
-    """Parameter holder with an nn.Dense-compatible tree (kernel/bias) so the
-    same weights feed both the XLA path and the fused Pallas kernel."""
-
-    features_in: int
-    features_out: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.features_in, self.features_out),
-            jnp.float32,
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.features_out,), jnp.float32)
-            if self.use_bias
-            else None
-        )
-        return k, b
 
 
 class WindowAttention(nn.Module):

@@ -13,8 +13,11 @@ a single (T=ws·Wp) token sequence with BLOCK-DIAGONAL attention — token j
 belongs to window (j mod Wp) // ws. All windows of the band are processed by
 ONE (T, T) masked matmul per head: the off-window penalty, the shifted-window
 column penalty, and the last-band row penalty are all static (T, T) tables
-(the relative-position bias is expanded in-kernel from the learned 49×49
-table with two small one-hot matmuls, P @ b49 @ Pᵀ — no gathers).
+The learned 49×49 relative bias is expanded to the band ONCE per call in XLA
+(P @ b49 @ Pᵀ — no gathers), merged with the static penalties, and handed to
+the kernel as a (nh, T, T) bf16 table that stays VMEM-resident across grid
+steps (constant index_map) — the in-kernel per-step expansion it replaces
+cost two matmuls per head per grid step.
 
 Matches WindowAttention math exactly up to bf16 rounding (additive -100
 shift mask like the reference, softmax in f32). Inference only — the XLA
@@ -74,8 +77,8 @@ def _make_kernel(ws, wp, c, nh, nb, shift, qk_scale=None):
     hd = c // nh
     scale = qk_scale if qk_scale is not None else hd**-0.5
 
-    def kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, b49_ref,
-               p_ref, pt_ref, pen_ref, rowpen_ref, o_ref):
+    def kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+               bias_ref, rowpen_ref, o_ref):
         band = pl.program_id(1)
         x = x_ref[0, 0]  # (T, C) bf16
         qkv = (
@@ -83,9 +86,11 @@ def _make_kernel(ws, wp, c, nh, nb, shift, qk_scale=None):
             + bqkv_ref[...]
         )  # (T, 3C) f32
 
-        pen = pen_ref[0]
+        rp = None
         if shift:
-            pen = pen + rowpen_ref[0] * (band == nb - 1).astype(jnp.float32)
+            rp = rowpen_ref[0].astype(jnp.float32) * (band == nb - 1).astype(
+                jnp.float32
+            )
 
         outs = []
         for h in range(nh):
@@ -98,13 +103,13 @@ def _make_kernel(ws, wp, c, nh, nb, shift, qk_scale=None):
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (T, T)
-            # learned 49×49 relative bias expanded to the band: P @ b49 @ Pᵀ
-            bias_mid = jnp.dot(p_ref[...], b49_ref[h], preferred_element_type=jnp.float32)
-            bias_h = jnp.dot(
-                bias_mid.astype(jnp.bfloat16), pt_ref[...].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            attn = attn + bias_h + pen
+            # bias_ref holds the pre-expanded P @ b49 @ Pᵀ + static penalties
+            # (loop-invariant — expanded ONCE per call in XLA, resident in
+            # VMEM across grid steps via the constant index_map; the old
+            # in-kernel expansion cost two matmuls per head per step)
+            attn = attn + bias_ref[h].astype(jnp.float32)
+            if shift:
+                attn = attn + rp
             m = jnp.max(attn, axis=1, keepdims=True)
             e = jnp.exp(attn - m)
             s = jnp.sum(e, axis=1, keepdims=True)
@@ -145,6 +150,16 @@ def window_attention_fused(
     x2 = xp.reshape(b, nb, t, c)
     kern = _make_kernel(ws, wp, c, num_heads, nb, shift, qk_scale)
 
+    # expand the learned 49×49 bias to the band ONCE in XLA (P @ b49 @ Pᵀ),
+    # fold in the static off-window/shift penalties, and hand the kernel the
+    # merged (nh, T, T) bf16 table — resident in VMEM across grid steps
+    p = jnp.asarray(p_np)  # (T, 49)
+    bias_full = jnp.einsum(
+        "tk,hks,ms->htm", p, bias49.astype(jnp.float32), p,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    bias_full = (bias_full + jnp.asarray(pen_np)[None]).astype(jnp.bfloat16)
+
     out = pl.pallas_call(
         kern,
         grid=(b, nb),
@@ -154,10 +169,7 @@ def window_attention_fused(
             pl.BlockSpec((1, 3 * c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((num_heads, ws * ws, ws * ws), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((t, ws * ws), lambda i, j: (0, 0)),
-            pl.BlockSpec((ws * ws, t), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, t, t), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((num_heads, t, t), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((1, t, t), lambda i, j: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0)),
@@ -169,10 +181,7 @@ def window_attention_fused(
         bqkv.astype(jnp.float32).reshape(1, -1),
         wproj.astype(jnp.bfloat16),
         bproj.astype(jnp.float32).reshape(1, -1),
-        bias49.astype(jnp.float32),
-        jnp.asarray(p_np),
-        jnp.asarray(pt_np),
-        jnp.asarray(pen_np)[None],
-        jnp.asarray(rowpen_np)[None],
+        bias_full,
+        jnp.asarray(rowpen_np).astype(jnp.bfloat16)[None],
     )
     return out.reshape(b, hp, wp, c)
