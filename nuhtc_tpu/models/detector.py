@@ -97,6 +97,17 @@ class NuHTC(nn.Module):
     # train rois are target-aligned, not sortable).
     roi_band: int = 32
     roi_overflow: int = 128
+    # rois per banded-scan chunk: 8 beats 16 on v5e (narrower effective
+    # windows per chunk -> less slice traffic at unchanged MXU shapes;
+    # overflow drops too: 67 vs 109 on the pessimistic synthetic mix)
+    roi_chunk: int = 8
+    # 2-d banding: proposals additionally sort by y-stripe so each chunk also
+    # reads a roi_yband-row window. Implemented and exact (same union repair),
+    # but OFF by default: t1's contraction depth K drops 128 -> yband, and the
+    # MXU pads K back to 128, so the FLOP cut never materializes while the
+    # strided y-slice adds ~8 ms/step (measured on v5e — see BASELINE.md).
+    # x-banding cuts N (the lane dim), which stays >= 128 — that one is real.
+    roi_yband: int = 0
     # _Lite_Fuse variant (reference htc_roi_head_cus.py:2919): adds an n-class
     # HTCSegBranch whose per-class watershed instances form the result
     lite_fuse: bool = False
@@ -195,6 +206,26 @@ class NuHTC(nn.Module):
             return self.roi_band
         return None
 
+    @property
+    def _roi_yband(self) -> int | None:
+        return self.roi_yband if self.roi_yband > 0 else None
+
+    def _band_sort_key(self, boxes: jnp.ndarray) -> jnp.ndarray:
+        """(.., 4) boxes → scalar sort key: y-stripe major, x-center minor —
+        chunks of consecutive rois then share a compact (yband, band) feature
+        window. Stripe height is half the y-window at the finest stride,
+        leaving headroom for the roi extent; without y-banding the key
+        degenerates to the plain x sort."""
+        xc = boxes[..., 0] + boxes[..., 2]
+        if self._roi_yband is None:
+            return xc
+        # stripe = 2/3 of the y-window: rois up to window/3 tall fit their
+        # stripe's window; taller ones and stripe-straddling chunks fall back
+        # to the exact dense repair (roi_overflow budget)
+        stripe = max(1.0, self.roi_yband * self.strides[0] * 2.0 / 3.0)
+        yq = jnp.floor((boxes[..., 1] + boxes[..., 3]) * (0.5 / stripe))
+        return yq * 8192.0 + xc
+
     def _bbox_stage(self, stage: int, feats, semantic_feat, rois, banded: bool = False):
         """Batched cascade stage. rois: (B, P, 4) → (cls (B,P,C+2), reg (B,P,4)).
         ``banded=True``: rois are x-sorted → banded RoIAlign (see roi_band)."""
@@ -214,7 +245,7 @@ class NuHTC(nn.Module):
                     strides=self.strides, start_level=self.attn_start_level,
                     thres=self.attn_thres, band=band,
                     overflow_slots=self.roi_overflow, sem_pool_from=14,
-                    fc0_kernel=w0,
+                    fc0_kernel=w0, yband=self._roi_yband, chunk=self.roi_chunk,
                 )
 
             fc0_pre = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
@@ -258,7 +289,8 @@ class NuHTC(nn.Module):
                     f_tuple, sem, r, output_size=14, sampling_ratio=0,
                     strides=self.strides, start_level=self.attn_start_level,
                     thres=self.attn_thres, band=band,
-                    overflow_slots=self.roi_overflow,
+                    overflow_slots=self.roi_overflow, yband=self._roi_yband,
+                    chunk=self.roi_chunk,
                 )
 
             mask_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
@@ -352,12 +384,12 @@ class NuHTC(nn.Module):
             rois_valid = prop_valid
 
         # --- cascade ------------------------------------------------------
-        # x-sort proposals once so banded RoIAlign chunks are spatially
-        # coherent; the order is kept through all stages (per-roi refinement
-        # preserves row identity) and NMS is order-independent, so nothing
-        # downstream needs unsorting.
+        # sort proposals once by (y-stripe, x-center) so banded RoIAlign
+        # chunks are spatially coherent in both axes; the order is kept
+        # through all stages (per-roi refinement preserves row identity) and
+        # NMS is order-independent, so nothing downstream needs unsorting.
         if self._roi_band(True) is not None:
-            order = jnp.argsort(rois[..., 0] + rois[..., 2], axis=1)
+            order = jnp.argsort(self._band_sort_key(rois), axis=1)
             rois = jnp.take_along_axis(rois, order[..., None], axis=1)
             rois_valid = jnp.take_along_axis(rois_valid, order, axis=1)
 
@@ -386,9 +418,9 @@ class NuHTC(nn.Module):
         # --- mask branch ----------------------------------------------------
         mask_boxes = det["boxes"] * self.scale_factor  # back to input frame
         if self._roi_band(True) is not None:
-            # NMS output is score-ordered; re-sort by x for banded extraction
-            # and unsort the mask probs back to detection order.
-            morder = jnp.argsort(mask_boxes[..., 0] + mask_boxes[..., 2], axis=1)
+            # NMS output is score-ordered; re-sort by (y-stripe, x) for banded
+            # extraction and unsort the mask probs back to detection order.
+            morder = jnp.argsort(self._band_sort_key(mask_boxes), axis=1)
             minv = jnp.argsort(morder, axis=1)
             mask_probs = self._mask_forward(
                 feats, semantic_feat,

@@ -97,6 +97,8 @@ def banded_stage_features(
     overflow_slots: int = 128,
     sem_pool_from: int | None = None,
     fc0_kernel: jnp.ndarray | None = None,
+    yband: int | None = None,
+    chunk: int = 16,
 ) -> jnp.ndarray:
     """Banded equivalent of ``attention_roi_features(...) +
     single_roi_features(sem, ...)`` — ONE fused scan, ONE union overflow
@@ -121,7 +123,6 @@ def banded_stage_features(
     linearity (repair happens in fc0-output space).
     """
     r = rois.shape[0]
-    chunk = 16
     dtype = feats[0].dtype
     cdtype = jnp.bfloat16
 
@@ -139,13 +140,14 @@ def banded_stage_features(
     plans, feats_t, bands = [], [], []
     oflow = jnp.zeros((r,), bool)
     for f, ss, sr, pf in specs:
-        sy, sx, col0, of, b_eff = banded_plan(
+        sy, sx, col0, row0, of, b_eff, yb_eff = banded_plan(
             f.shape, rois, ss, output_size, sampling_ratio=sr,
             max_grid=max_grid, chunk=chunk, band=band, pool_from=pf,
+            yband=yband,
         )
-        plans.append((sy, sx, col0))
+        plans.append((sy, sx, col0, row0))
         feats_t.append(f.astype(cdtype).transpose(1, 0, 2))  # (W, H, C)
-        bands.append(b_eff)
+        bands.append((b_eff, yb_eff))
         oflow = oflow | of
 
     c = feats_t[0].shape[-1]
@@ -171,8 +173,12 @@ def banded_stage_features(
         def body_fc0(_, xs):
             *level_xs, p_c = xs
             acc = jnp.zeros((chunk, output_size * output_size, c), jnp.float32)
-            for ft, b_eff, (sy_c, sx_c, c0) in zip(feats_t, bands, level_xs):
-                t2 = banded_chunk_t2(ft, sy_c, sx_c, c0, b_eff, cdtype=cdtype)
+            for ft, (b_eff, yb_eff), (sy_c, sx_c, c0, r0) in zip(
+                feats_t, bands, level_xs
+            ):
+                t2 = banded_chunk_t2(
+                    ft, sy_c, sx_c, c0, b_eff, r0=r0, yband=yb_eff, cdtype=cdtype
+                )
                 acc = acc + t2.reshape(chunk, output_size * output_size, c)
             acc = acc + p_c[:, None, :]
             y = jnp.dot(
@@ -186,8 +192,10 @@ def banded_stage_features(
     else:
         def body(_, xs):
             acc = jnp.zeros((chunk, flat), jnp.float32)
-            for ft, b_eff, (sy_c, sx_c, c0) in zip(feats_t, bands, xs):
-                t2 = banded_chunk_t2(ft, sy_c, sx_c, c0, b_eff, cdtype=cdtype)
+            for ft, (b_eff, yb_eff), (sy_c, sx_c, c0, r0) in zip(feats_t, bands, xs):
+                t2 = banded_chunk_t2(
+                    ft, sy_c, sx_c, c0, b_eff, r0=r0, yband=yb_eff, cdtype=cdtype
+                )
                 acc = acc + t2.reshape(chunk, flat)
             return None, acc.astype(dtype)
 

@@ -50,13 +50,17 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True, fused_map=None, shift: int = 0):
+    def __call__(self, x, mask=None, deterministic: bool = True, fused_map=None,
+                 shift: int = 0, return_params: bool = False):
         """x: (num_windows*B, N, C); mask: (nW, N, N) additive or None.
 
         ``fused_map``: alternative input — the padded (and pre-rolled, if
         shifted) feature map (B, Hp, Wp, C); attention then runs through the
         fused Pallas band kernel (inference hot path) and returns the same
-        layout. ``x`` is ignored in that case."""
+        layout. ``x`` is ignored in that case.
+
+        ``return_params``: returns (wqkv, bqkv, wproj, bproj, bias49) so the
+        caller can drive the fused full-block kernel (SwinBlock)."""
         ws = self.window_size
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
@@ -71,6 +75,12 @@ class WindowAttention(nn.Module):
         )
         index = _rel_position_index(ws)
         n = ws * ws
+
+        if return_params:
+            bias49 = table[index.reshape(-1)].reshape(n, n, self.num_heads)
+            if bqkv is None:
+                bqkv = jnp.zeros((self.dim * 3,), jnp.float32)
+            return wqkv, bqkv, wproj, bproj, bias49.transpose(2, 0, 1)
 
         if fused_map is not None:
             from nuhtc_tpu.ops.window_attention_pallas import window_attention_fused
@@ -115,6 +125,31 @@ class WindowAttention(nn.Module):
         out = jnp.dot(out.astype(dt), wproj.astype(dt)) + bproj.astype(dt)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
+
+
+class _LNParams(nn.Module):
+    """scale/bias holder aliasing an nn.LayerNorm param tree (same names)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _FFNParams(nn.Module):
+    """fc1/fc2 holder aliasing the MLP param tree (layers.MLP names)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return w1, b1, w2, b2
 
 
 def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
@@ -195,12 +230,34 @@ class SwinBlock(nn.Module):
             and h * w >= 64 * 64
         )
         if use_fused:
-            xp = attn_mod(None, deterministic=True, fused_map=xp, shift=shift)
-        else:
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift)) if shift else None
-            wins = window_partition(xp, ws)
-            wins = attn_mod(wins, mask=mask, deterministic=deterministic)
-            xp = window_reverse(wins, ws, hp, wp)
+            # full-block Pallas kernel: attention + residual + LN2 + MLP +
+            # residual in one VMEM pass (LN1 + pad/roll stay here so pad
+            # tokens enter attention exactly as on the XLA path). Inference
+            # only — drop_path is identity and dropout is off.
+            from nuhtc_tpu.ops.window_attention_pallas import window_block_fused
+
+            wqkv, bqkv, wproj, bproj, bias49 = attn_mod(None, return_params=True)
+            g2, be2 = _LNParams(self.dim, name="norm2")()
+            w1, b1_, w2, b2_ = _FFNParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="ffn"
+            )()
+            sc = jnp.pad(shortcut, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            if shift:
+                sc = jnp.roll(sc, (-shift, -shift), axis=(1, 2))
+            out = window_block_fused(
+                sc, xp, wqkv, bqkv, wproj, bproj, bias49,
+                g2, be2, w1, b1_, w2, b2_,
+                ws=ws, num_heads=self.num_heads, shift=shift,
+                qk_scale=attn_mod.qk_scale,
+            )
+            if shift:
+                out = jnp.roll(out, (shift, shift), axis=(1, 2))
+            return out[:, :h, :w, :]
+
+        mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift)) if shift else None
+        wins = window_partition(xp, ws)
+        wins = attn_mod(wins, mask=mask, deterministic=deterministic)
+        xp = window_reverse(wins, ws, hp, wp)
 
         if shift:
             xp = jnp.roll(xp, (shift, shift), axis=(1, 2))

@@ -180,8 +180,18 @@ def component_boxes_from_raw(
 def boxes_from_roots(lab: jnp.ndarray, roots: jnp.ndarray):
     """Row-factored box/area extraction for given component ids.
     lab (H, W) raw labels, roots (K,) label values (padding = out-of-range).
-    Returns (boxes (K, 4) [x1, y1, x2+1, y2+1] f32, areas (K,) int32)."""
+    Returns (boxes (K, 4) [x1, y1, x2+1, y2+1] f32, areas (K,) int32).
+
+    On TPU with Mosaic-friendly shapes this dispatches to the single-pass
+    Pallas kernel (ops/components_pallas.py — label rows stay in VMEM, all
+    five stats accumulate in one sweep); the XLA row-factored path is the
+    fallback and the oracle."""
     h, w = lab.shape
+    k = roots.shape[0]
+    if jax.default_backend() != "cpu" and k % 128 == 0 and h % 8 == 0 and w % 128 == 0:
+        from nuhtc_tpu.ops.components_pallas import boxes_from_roots_pallas
+
+        return boxes_from_roots_pallas(lab, roots)
     eq = lab[None, :, :] == roots[:, None, None]  # (K, H, W), fused below
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     inf = jnp.float32(1e9)

@@ -112,6 +112,31 @@ def _geometry(rois, spatial_scale, output_size, sampling_ratio, max_grid, pool_f
     return start_h, bin_h, grid_h, start_w, bin_w, grid_w, mg
 
 
+def _band_window(start, bin_size, grid, output_size, size, band, n_chunks, chunk, pad):
+    """Per-chunk band window along one axis: → (w0 (n_chunks,) i32 aligned
+    window starts, w0_r (R,) per-roi, overflow (R,) bool).
+
+    Conservative support: all samples lie in [start + half, start +
+    out*bin - half]; after clipping, the hat of a sample at xc touches
+    cells floor(xc) and floor(xc)+1. The window start is the min support
+    cell over the chunk, sublane-aligned down (8), clamped in range —
+    w0 <= lo for every roi in the chunk, so only the high side can
+    overflow."""
+    r = start.shape[0]
+    gridf = grid.astype(jnp.float32)
+    half = 0.5 * bin_size / gridf
+    lo = jnp.clip(start + half, 0.0, size - 1.0)
+    hi = jnp.clip(start + output_size * bin_size - half, 0.0, size - 1.0)
+    lo_i = jnp.floor(lo)
+    hi_i = jnp.minimum(jnp.floor(hi) + 1.0, size - 1.0)
+    lo_pad = jnp.pad(lo_i, (0, pad), constant_values=float(size - 1))
+    w0 = jnp.min(lo_pad.reshape(n_chunks, chunk), axis=1)
+    w0 = (jnp.clip(w0, 0.0, float(size - band)) // 8 * 8).astype(jnp.int32)
+    w0_r = jnp.repeat(w0, chunk)[:r]  # (R,)
+    overflow = hi_i > (w0_r + band - 1).astype(jnp.float32)
+    return w0, w0_r, overflow
+
+
 def banded_plan(
     feat_shape: tuple,  # (H, W, C)
     rois: jnp.ndarray,  # (R, 4)
@@ -122,15 +147,23 @@ def banded_plan(
     chunk: int = 16,
     band: int = 32,
     pool_from: int | None = None,
+    yband: int | None = None,
 ):
-    """Chunked x-banded interpolation inputs for one pyramid level.
+    """Chunked banded interpolation inputs for one pyramid level.
 
-    Returns (sy, sx, col0, overflow, band_eff):
-      sy (n_chunks, chunk, out, H) f32 — full-height y-interp matrices
-      sx (n_chunks, chunk, out, band_eff) f32 — banded x-interp matrices
-      col0 (n_chunks,) i32 — window start column per chunk (8-aligned)
-      overflow (R,) bool — rois whose x support exceeds their chunk window
-      band_eff = min(band, W) (band == W degenerates to dense, no overflow)
+    Returns (sy, sx, col0, row0, overflow, band_eff, yband_eff):
+      sy (n_chunks, chunk, out, yband_eff) f32 — y-interp matrices
+      sx (n_chunks, chunk, out, band_eff) f32 — x-interp matrices
+      col0/row0 (n_chunks,) i32 — window start col/row per chunk (8-aligned)
+      overflow (R,) bool — rois whose support exceeds their chunk window
+      band_eff = min(band, W); yband_eff = min(yband, H) (or H when yband
+      is None — x-banding only; a band equal to the extent degenerates to
+      dense on that axis, no overflow)
+
+    ``yband``: 2-d banding. With rois sorted by (y-stripe, x-center) — the
+    caller's job — each chunk reads a (yband, band) feature window, cutting
+    t1's contraction depth H -> yband on top of the x cut. RoIs whose y
+    support exceeds the window union into the same overflow set.
 
     The caller owns the scan — this enables fusing several levels into one
     loop (roi_extractor.banded_stage_features)."""
@@ -143,49 +176,56 @@ def banded_plan(
     pad = (-r) % chunk
     n_chunks = (r + pad) // chunk
 
-    # conservative x support: all samples lie in [start + half, start +
-    # out*bin - half]; after clipping, the hat of a sample at xc touches
-    # columns floor(xc) and floor(xc)+1.
-    gridf = grid_w.astype(jnp.float32)
-    half = 0.5 * bin_w / gridf
-    lo = jnp.clip(start_w + half, 0.0, w - 1.0)
-    hi = jnp.clip(start_w + output_size * bin_w - half, 0.0, w - 1.0)
-    lo_i = jnp.floor(lo)
-    hi_i = jnp.minimum(jnp.floor(hi) + 1.0, w - 1.0)
-    # chunk window start: min support col over the chunk, sublane-aligned
-    # down (8), clamped so the window stays in range. col0 <= lo_i for
-    # every roi in the chunk, so only the high side can overflow.
-    lo_pad = jnp.pad(lo_i, (0, pad), constant_values=float(w - 1))
-    col0 = jnp.min(lo_pad.reshape(n_chunks, chunk), axis=1)
-    col0 = (jnp.clip(col0, 0.0, float(w - band)) // 8 * 8).astype(jnp.int32)
-    col0_r = jnp.repeat(col0, chunk)[:r]  # (R,)
-    overflow = hi_i > (col0_r + band - 1).astype(jnp.float32)
-
-    sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
+    col0, col0_r, overflow = _band_window(
+        start_w, bin_w, grid_w, output_size, w, band, n_chunks, chunk, pad
+    )
     sx = _interp_matrix(
         start_w, bin_w, grid_w, output_size, w, mg, dtype=jnp.float32,
         origin=col0_r, n_cols=band,
     )
-    sy = jnp.pad(sy, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, output_size, h)
+
+    yband = min(yband, h) if yband is not None else h
+    if yband < h:
+        row0, row0_r, y_over = _band_window(
+            start_h, bin_h, grid_h, output_size, h, yband, n_chunks, chunk, pad
+        )
+        overflow = overflow | y_over
+        sy = _interp_matrix(
+            start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32,
+            origin=row0_r, n_cols=yband,
+        )
+    else:
+        row0 = jnp.zeros((n_chunks,), jnp.int32)
+        sy = _interp_matrix(start_h, bin_h, grid_h, output_size, h, mg, dtype=jnp.float32)
+
+    sy = jnp.pad(sy, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, output_size, yband)
     sx = jnp.pad(sx, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, output_size, band)
-    return sy, sx, col0, overflow, band
+    return sy, sx, col0, row0, overflow, band, yband
 
 
 def banded_chunk_t2(
     feat_t: jnp.ndarray,  # (W, H, C) pre-transposed, compute dtype
-    sy_c: jnp.ndarray,  # (chunk, out, H)
+    sy_c: jnp.ndarray,  # (chunk, out, yband)
     sx_c: jnp.ndarray,  # (chunk, out, band)
-    c0: jnp.ndarray,  # scalar i32 window start
+    c0: jnp.ndarray,  # scalar i32 x-window start
     band: int,
+    r0: jnp.ndarray | None = None,  # scalar i32 y-window start (None = 0)
+    yband: int | None = None,  # y-window height (None = full H)
     cdtype=jnp.bfloat16,
     prec=jax.lax.Precision.DEFAULT,
     t1_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """One banded chunk: → (chunk, out, out, C) f32. t1 keeps the shared-F
-    big-M structure (M = chunk*out, K = H) with N cut to band*C; t2's K is
-    band. feat_t's window slice is a contiguous major-dim dynamic_slice."""
+    big-M structure (M = chunk*out, K = yband) with N cut to band*C; t2's K
+    is band. feat_t's window is a (band, yband, C) dynamic_slice — the x cut
+    is a contiguous major-dim slice, the y cut strides within it."""
     w, h, c = feat_t.shape
-    fb = jax.lax.dynamic_slice(feat_t, (c0, 0, 0), (band, h, c))
+    if yband is None:
+        yband = h
+    z = jnp.int32(0)
+    fb = jax.lax.dynamic_slice(
+        feat_t, (c0, z if r0 is None else r0, z), (band, yband, c)
+    )
     t1 = jnp.einsum(
         "rih,bhc->ribc", sy_c.astype(cdtype), fb,
         precision=prec, preferred_element_type=t1_dtype,
@@ -261,7 +301,7 @@ def roi_align(
         # scan over chunks; each reads one band-column window of F (see
         # banded_plan / banded_chunk_t2). F is pre-transposed to (W, H, C) so
         # the window is a contiguous major-dim slice (loop-invariant, hoisted).
-        sy_p, sx_p, col0, overflow, band = banded_plan(
+        sy_p, sx_p, col0, _row0, overflow, band, _yb = banded_plan(
             feat.shape, rois_in, spatial_scale, output_size,
             sampling_ratio=sampling_ratio, max_grid=max_grid, chunk=chunk,
             band=band, pool_from=pool_from,

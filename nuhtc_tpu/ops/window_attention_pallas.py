@@ -185,3 +185,156 @@ def window_attention_fused(
         jnp.asarray(rowpen_np).astype(jnp.bfloat16)[None],
     )
     return out.reshape(b, hp, wp, c)
+
+
+def _make_block_kernel(ws, wp, c, nh, nb, shift, hidden, qk_scale=None):
+    """Full Swin block tail: attention on the pre-normed band + residual +
+    LN2 + exact-gelu MLP + residual — one VMEM pass (the XLA lowering round-
+    trips the (B, Hp, Wp, C) map through HBM between each of those ops)."""
+    t = ws * wp
+    hd = c // nh
+    scale = qk_scale if qk_scale is not None else hd**-0.5
+
+    def kernel(x_ref, h1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+               g2_ref, be2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+               bias_ref, rowpen_ref, o_ref):
+        band = pl.program_id(1)
+        h1 = h1_ref[0, 0]  # (T, C) bf16 — post-LN1, padded/rolled
+        qkv = (
+            jnp.dot(h1, wqkv_ref[...], preferred_element_type=jnp.float32)
+            + bqkv_ref[...]
+        )
+
+        rp = None
+        if shift:
+            rp = rowpen_ref[0].astype(jnp.float32) * (band == nb - 1).astype(
+                jnp.float32
+            )
+
+        outs = []
+        for h in range(nh):
+            q = qkv[:, h * hd : (h + 1) * hd] * scale
+            k = qkv[:, c + h * hd : c + (h + 1) * hd]
+            v = qkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+            attn = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            attn = attn + bias_ref[h].astype(jnp.float32)
+            if shift:
+                attn = attn + rp
+            m = jnp.max(attn, axis=1, keepdims=True)
+            e = jnp.exp(attn - m)
+            s = jnp.sum(e, axis=1, keepdims=True)
+            pr = (e / s).astype(jnp.bfloat16)
+            outs.append(
+                jnp.dot(pr, v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            )
+        o = jnp.concatenate(outs, axis=1)
+        o = jnp.dot(o.astype(jnp.bfloat16), wproj_ref[...], preferred_element_type=jnp.float32)
+        o = o + bproj_ref[...]
+
+        x2 = x_ref[0, 0].astype(jnp.float32) + o  # residual (raw shortcut)
+
+        # LN2 (f32 stats over C) + MLP with exact (erf) gelu
+        mu = jnp.mean(x2, axis=1, keepdims=True)
+        var = jnp.mean((x2 - mu) * (x2 - mu), axis=1, keepdims=True)
+        h2 = (x2 - mu) * jax.lax.rsqrt(var + 1e-5) * g2_ref[...] + be2_ref[...]
+        u = (
+            jnp.dot(h2.astype(jnp.bfloat16), wfc1_ref[...], preferred_element_type=jnp.float32)
+            + bfc1_ref[...]
+        )
+        u = 0.5 * u * (1.0 + jax.lax.erf(u * 0.7071067811865476))
+        y = (
+            jnp.dot(u.astype(jnp.bfloat16), wfc2_ref[...], preferred_element_type=jnp.float32)
+            + bfc2_ref[...]
+        )
+        o_ref[0, 0] = (x2 + y).astype(o_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("ws", "num_heads", "shift", "qk_scale", "interpret"))
+def window_block_fused(
+    xp: jnp.ndarray,  # (B, Hp, Wp, C) RAW shortcut — padded (+ rolled if shifted)
+    h1p: jnp.ndarray,  # (B, Hp, Wp, C) post-LN1 map, same padding/roll
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    bias49: jnp.ndarray,  # (nh, ws², ws²)
+    g2: jnp.ndarray,  # (C,) LN2 scale
+    b2: jnp.ndarray,  # (C,) LN2 bias
+    wfc1: jnp.ndarray,  # (C, hidden)
+    bfc1: jnp.ndarray,
+    wfc2: jnp.ndarray,  # (hidden, C)
+    bfc2: jnp.ndarray,
+    ws: int,
+    num_heads: int,
+    shift: int,
+    qk_scale: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention + residual + LN2 + MLP + residual over the padded map.
+    Returns (B, Hp, Wp, C) = the full SwinBlock output in the padded/rolled
+    frame (caller unrolls + crops). Semantics match the XLA path: LN1 and the
+    pad/roll stay outside, so pad tokens enter attention exactly as there."""
+    b, hp, wp, c = xp.shape
+    assert hp % ws == 0 and wp % ws == 0, (hp, wp, ws)
+    nb = hp // ws
+    t = ws * wp
+    hidden = wfc1.shape[1]
+    p_np, pt_np, pen_np, rowpen_np = _static_tables(ws, wp, hp, shift)
+
+    dtype = xp.dtype
+    x2d = xp.reshape(b, nb, t, c)
+    h2d = h1p.reshape(b, nb, t, c)
+    kern = _make_block_kernel(ws, wp, c, num_heads, nb, shift, hidden, qk_scale)
+
+    p = jnp.asarray(p_np)
+    bias_full = jnp.einsum(
+        "tk,hks,ms->htm", p, bias49.astype(jnp.float32), p,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    bias_full = (bias_full + jnp.asarray(pen_np)[None]).astype(jnp.bfloat16)
+
+    row = lambda a: a.astype(jnp.float32).reshape(1, -1)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((c, 3 * c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 3 * c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, hidden), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, hidden), lambda i, j: (0, 0)),
+            pl.BlockSpec((hidden, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((num_heads, t, t), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, t, t), lambda i, j: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nb, t, c), dtype),
+        interpret=interpret,
+    )(
+        x2d.astype(jnp.bfloat16),
+        h2d.astype(jnp.bfloat16),
+        wqkv.astype(jnp.bfloat16),
+        row(bqkv),
+        wproj.astype(jnp.bfloat16),
+        row(bproj),
+        row(g2),
+        row(b2),
+        wfc1.astype(jnp.bfloat16),
+        row(bfc1),
+        wfc2.astype(jnp.bfloat16),
+        row(bfc2),
+        bias_full,
+        jnp.asarray(rowpen_np).astype(jnp.bfloat16)[None],
+    )
+    return out.reshape(b, hp, wp, c)

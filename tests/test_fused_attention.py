@@ -114,3 +114,57 @@ def test_fused_tiny_single_window():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.06
     )
+
+
+@pytest.mark.parametrize("shift", [False, True])
+def test_block_fused_tiny(shift):
+    """Always-on CI coverage for the fused FULL-BLOCK kernel (attention +
+    residual + LN2 + MLP + residual) vs the XLA SwinBlock, including
+    padding (6x7 -> 8x8) and the shifted variant. ws=4 keeps interpret
+    mode in seconds."""
+    from nuhtc_tpu.models.swin import SwinBlock
+    from nuhtc_tpu.ops.window_attention_pallas import window_block_fused
+
+    ws, c, nh = 4, 16, 2
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 6, 7, c).astype(np.float32) * 0.5)
+    blk = SwinBlock(
+        dim=c, num_heads=nh, window_size=ws, shift=shift,
+        fused_attention=False, dtype=jnp.float32,
+    )
+    p = blk.init(jax.random.PRNGKey(1), x, True)
+    want = blk.apply(p, x, True)
+
+    prm = p["params"]
+    n1 = prm["norm1"]
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h1 = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * n1["scale"] + n1["bias"]
+
+    s = ws // 2 if shift else 0
+    pad = ((0, 0), (0, 2), (0, 1), (0, 0))
+    xp, h1p = jnp.pad(x, pad), jnp.pad(h1, pad)
+    if s:
+        xp = jnp.roll(xp, (-s, -s), axis=(1, 2))
+        h1p = jnp.roll(h1p, (-s, -s), axis=(1, 2))
+
+    attn = prm["attn"]
+    table = attn["relative_position_bias_table"]
+    idx = _rel_position_index(ws)
+    bias49 = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, nh).transpose(2, 0, 1)
+    out = window_block_fused(
+        xp, h1p,
+        attn["qkv"]["kernel"], attn["qkv"]["bias"],
+        attn["proj"]["kernel"], attn["proj"]["bias"], bias49,
+        prm["norm2"]["scale"], prm["norm2"]["bias"],
+        prm["ffn"]["fc1"]["kernel"], prm["ffn"]["fc1"]["bias"],
+        prm["ffn"]["fc2"]["kernel"], prm["ffn"]["fc2"]["bias"],
+        ws=ws, num_heads=nh, shift=s, interpret=True,
+    )
+    if s:
+        out = jnp.roll(out, (s, s), axis=(1, 2))
+    got = out[:, :6, :7, :]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.06
+    )

@@ -120,3 +120,23 @@ def test_component_proposals_end_to_end(rng):
     # blobs roughly double in coordinates after 2x upsample
     b0 = boxes5[valid][0]
     assert 15 < b0[0] < 25 and 15 < b0[1] < 25
+
+
+def test_boxes_from_roots_pallas_parity():
+    """Pallas single-pass box kernel == XLA row-factored oracle (interpret
+    mode; the TPU dispatch in boxes_from_roots shares this code path)."""
+    import jax.numpy as jnp
+    from nuhtc_tpu.ops.components import boxes_from_roots
+    from nuhtc_tpu.ops.components_pallas import boxes_from_roots_pallas
+
+    rng = np.random.RandomState(11)
+    h, w = 64, 256
+    lab = (rng.randint(0, 60, (h, w)) * 131) % (h * w)
+    u = np.unique(lab)[:100]
+    roots = np.concatenate([u, np.full(128 - len(u), h * w)]).astype(np.int32)
+    b1, a1 = boxes_from_roots(jnp.asarray(lab.astype(np.int32)), jnp.asarray(roots))
+    b2, a2 = boxes_from_roots_pallas(
+        jnp.asarray(lab.astype(np.int32)), jnp.asarray(roots), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))

@@ -111,3 +111,90 @@ def test_detector_banded_matches_dense():
     np.testing.assert_array_equal(
         np.asarray(out_d["labels"])[v], np.asarray(out_b["labels"])[v]
     )
+
+
+def _stage_inputs(rng, n_rois, max_wh=40.0, img=256):
+    feats = tuple(
+        jnp.asarray(rng.randn(img // s, img // s, 16).astype(np.float32))
+        for s in (4, 8, 16, 32)
+    )
+    sem = jnp.asarray(rng.randn(img // 4, img // 4, 16).astype(np.float32))
+    rois = _random_rois(rng, n_rois, img, max_wh=max_wh)
+    return feats, sem, rois
+
+
+def _dense_stage(feats, sem, rois, out, sr, sem_pool_from=None):
+    from nuhtc_tpu.models.roi_extractor import (
+        attention_roi_features, single_roi_features,
+    )
+
+    rf = attention_roi_features(feats, rois, out, sr)
+    sem_rf = single_roi_features(
+        sem, rois, out, stride=4,
+        sampling_ratio=0 if sem_pool_from else sr, pool_from=sem_pool_from,
+    )
+    r = rois.shape[0]
+    return (rf + sem_rf).reshape(r, -1)
+
+
+@pytest.mark.parametrize("yband", [None, 32])
+def test_banded_stage_full_slots_exact_any_input(yband):
+    """banded_stage_features with overflow_slots == R equals the dense
+    attention+semantic sum for ANY roi set (unsorted, wide) — x-only and 2-d
+    banding both repair every overflowing roi."""
+    from nuhtc_tpu.models.roi_extractor import banded_stage_features
+
+    rng = np.random.RandomState(7)
+    feats, sem, rois_np = _stage_inputs(rng, 64, max_wh=150.0)
+    rng.shuffle(rois_np)  # deliberately unsorted
+    rois = jnp.asarray(rois_np)
+
+    dense = _dense_stage(feats, sem, rois, 7, 2, sem_pool_from=14)
+    banded = banded_stage_features(
+        feats, sem, rois, 7, 2, band=32, yband=yband,
+        overflow_slots=rois.shape[0], sem_pool_from=14,
+    )
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense), atol=2e-2)
+
+
+def test_banded_stage_yband_sorted_small_rois():
+    """(y-stripe, x)-sorted nuclei-sized rois: 2-d banding matches dense with
+    a repair budget sized for stripe-straddling chunks (rois of a chunk that
+    spans a stripe boundary can exceed the shared y-window and fall back to
+    the exact dense repair — roughly half a chunk per straddle)."""
+    from nuhtc_tpu.models.roi_extractor import banded_stage_features
+
+    rng = np.random.RandomState(8)
+    feats, sem, rois_np = _stage_inputs(rng, 96, max_wh=40.0)
+    stripe = 48 * 4 * 2 / 3  # detector._band_sort_key convention
+    yq = np.floor((rois_np[:, 1] + rois_np[:, 3]) * (0.5 / stripe))
+    key = yq * 8192.0 + rois_np[:, 0] + rois_np[:, 2]
+    rois = jnp.asarray(rois_np[np.argsort(key)])
+
+    dense = _dense_stage(feats, sem, rois, 14, 0)
+    banded = banded_stage_features(
+        feats, sem, rois, 14, 0, band=32, yband=48, overflow_slots=48,
+    )
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense), atol=2e-2)
+
+
+def test_banded_stage_fc0_fold_matches_post_matmul():
+    """fc0_kernel folding == (features then matmul), incl. repaired rois."""
+    from nuhtc_tpu.models.roi_extractor import banded_stage_features
+
+    rng = np.random.RandomState(9)
+    feats, sem, rois_np = _stage_inputs(rng, 64, max_wh=120.0)
+    rng.shuffle(rois_np)
+    rois = jnp.asarray(rois_np)
+    w0 = jnp.asarray(rng.randn(7 * 7 * 16, 64).astype(np.float32) * 0.05)
+
+    kw = dict(band=32, yband=32, overflow_slots=rois.shape[0], sem_pool_from=14)
+    feats_flat = banded_stage_features(feats, sem, rois, 7, 2, **kw)
+    ref = jnp.dot(
+        feats_flat.astype(jnp.bfloat16), w0.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    fused = banded_stage_features(feats, sem, rois, 7, 2, fc0_kernel=w0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=5e-2, rtol=1e-2
+    )
