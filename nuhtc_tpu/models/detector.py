@@ -93,10 +93,16 @@ class NuHTC(nn.Module):
     # the feature map instead of the full width — W/band fewer MXU FLOPs.
     # RoIs wider than their chunk window are exactly recomputed dense through
     # roi_overflow replacement slots. 0 disables (dense path everywhere);
-    # exact_rois=True also disables it. Train keeps the dense path (sampled
-    # train rois are target-aligned, not sortable).
+    # exact_rois=True also disables it.
     roi_band: int = 32
     roi_overflow: int = 128
+    # banded extraction in the TRAIN step: sampled rois are sorted by x for
+    # extraction and the head outputs unsorted back, so target alignment is
+    # untouched. A wider band + larger repair budget than inference because
+    # early-training proposals are arbitrary-width (negatives wider than the
+    # repair capacity would train on x-clipped features). 0 = dense.
+    train_roi_band: int = 64
+    train_roi_overflow: int = 256
     # rois per banded-scan chunk: 8 beats 16 on v5e (narrower effective
     # windows per chunk -> less slice traffic at unchanged MXU shapes;
     # overflow drops too: 67 vs 109 on the pessimistic synthetic mix)
@@ -226,11 +232,16 @@ class NuHTC(nn.Module):
         yq = jnp.floor((boxes[..., 1] + boxes[..., 3]) * (0.5 / stripe))
         return yq * 8192.0 + xc
 
-    def _bbox_stage(self, stage: int, feats, semantic_feat, rois, banded: bool = False):
+    def _bbox_stage(self, stage: int, feats, semantic_feat, rois, banded: bool = False,
+                    band: int | None = None, overflow: int | None = None):
         """Batched cascade stage. rois: (B, P, 4) → (cls (B,P,C+2), reg (B,P,4)).
-        ``banded=True``: rois are x-sorted → banded RoIAlign (see roi_band)."""
+        ``banded=True``: rois are x-sorted → banded RoIAlign (see roi_band).
+        ``band``/``overflow`` override the inference defaults (the train path
+        uses a wider band + larger repair budget — see train_roi_band)."""
         b, p, _ = rois.shape
-        band = self._roi_band(banded)
+        if band is None:
+            band = self._roi_band(banded)
+        overflow = self.roi_overflow if overflow is None else overflow
 
         if band is not None:
             # banded extraction with one union overflow repair per stage; the
@@ -244,7 +255,7 @@ class NuHTC(nn.Module):
                     f_tuple, sem, r, output_size=7, sampling_ratio=2,
                     strides=self.strides, start_level=self.attn_start_level,
                     thres=self.attn_thres, band=band,
-                    overflow_slots=self.roi_overflow, sem_pool_from=14,
+                    overflow_slots=overflow, sem_pool_from=14,
                     fc0_kernel=w0, yband=self._roi_yband, chunk=self.roi_chunk,
                 )
 
@@ -627,7 +638,21 @@ class NuHTC(nn.Module):
                 gt_boxes, gt_labels, gt_valid,
             )
 
-            cls_score, bbox_pred = self._bbox_stage(stage, feats, semantic_feat, rois)
+            if self.train_roi_band > 0 and not self.exact_rois:
+                # banded extraction: sort rois by x for window coherence and
+                # unsort the head outputs — targets keep the sampled order
+                order = jnp.argsort(rois[..., 0] + rois[..., 2], axis=1)
+                inv = jnp.argsort(order, axis=1)
+                cls_s, reg_s = self._bbox_stage(
+                    stage, feats, semantic_feat,
+                    jnp.take_along_axis(rois, order[..., None], axis=1),
+                    banded=True, band=self.train_roi_band,
+                    overflow=self.train_roi_overflow,
+                )
+                cls_score = jnp.take_along_axis(cls_s, inv[..., None], axis=1)
+                bbox_pred = jnp.take_along_axis(reg_s, inv[..., None], axis=1)
+            else:
+                cls_score, bbox_pred = self._bbox_stage(stage, feats, semantic_feat, rois)
 
             if sampler == "ohem":
                 # OHEMSampler_HTC analog (reference nuhtc/datasets/samplers/):
@@ -747,14 +772,28 @@ class NuHTC(nn.Module):
         _Cus._mask_forward_train:168-177)."""
         b, s, _ = boxes.shape
 
-        def per_image(f_tuple, sem, r):
-            rf = attention_roi_features(
-                f_tuple, r, output_size=14, sampling_ratio=0,
-                strides=self.strides, start_level=self.attn_start_level,
-                thres=self.attn_thres,
-            )
-            sem_rf = single_roi_features(sem, r, output_size=14, stride=self.strides[0])
-            return rf + sem_rf
+        inv = None
+        if self.train_roi_band > 0 and not self.exact_rois:
+            order = jnp.argsort(boxes[..., 0] + boxes[..., 2], axis=1)
+            inv = jnp.argsort(order, axis=1)
+            boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+
+            def per_image(f_tuple, sem, r):
+                return banded_stage_features(
+                    f_tuple, sem, r, output_size=14, sampling_ratio=0,
+                    strides=self.strides, start_level=self.attn_start_level,
+                    thres=self.attn_thres, band=self.train_roi_band,
+                    overflow_slots=self.train_roi_overflow, chunk=self.roi_chunk,
+                )
+        else:
+            def per_image(f_tuple, sem, r):
+                rf = attention_roi_features(
+                    f_tuple, r, output_size=14, sampling_ratio=0,
+                    strides=self.strides, start_level=self.attn_start_level,
+                    thres=self.attn_thres,
+                )
+                sem_rf = single_roi_features(sem, r, output_size=14, stride=self.strides[0])
+                return rf + sem_rf
 
         mf = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
         mf = mf.reshape(b * s, 14, 14, -1)
@@ -771,7 +810,10 @@ class NuHTC(nn.Module):
             logits = self.mask_heads[stage](
                 mf, res_feat=last, return_logits=True, return_feat=False
             )
-        return logits[..., 0].reshape(b, s, 28, 28)
+        logits = logits[..., 0].reshape(b, s, 28, 28)
+        if inv is not None:  # undo the band sort — targets use sampled order
+            logits = jnp.take_along_axis(logits, inv[..., None, None], axis=1)
+        return logits
 
     # ------------------------------------------------------------------ #
     def _multiclass_nms(self, boxes, scores, valid):
