@@ -578,6 +578,56 @@ class NuHTC(nn.Module):
             jax.nn.sigmoid(semantic_logits[..., 0]), sem_target
         )
 
+        # ---- _Lite_Fuse seg-branch losses ----------------------------------
+        # Reference forward_train (htc_roi_head_cus.py:390-392) trains the
+        # n-class seg branch with HTCSegHead.loss / loss_partial
+        # (htc_seg_head_cus.py:150-235): per-class seg loss + L1 on the
+        # normalized interior-distance map + multilabel global cls, each at
+        # the reference's 0.2 default weight. loss_partial semantics: pixels
+        # covered by box-only instances (gt_ismask == 0) are excluded from
+        # the seg/dist terms (their masks are unannotated).
+        if self.lite_fuse:
+            from nuhtc_tpu.models.extra_heads import soft_distance_target
+            from nuhtc_tpu.ops.mask_paste import paste_masks
+
+            _, seg_pred, seg_dist, seg_cls = self.seg_branch(img, semantic_feat)
+            fac = h // gt_sem.shape[1]
+            sem_up = jnp.repeat(jnp.repeat(gt_sem, fac, axis=1), fac, axis=2)
+            cls_ids = jnp.arange(1, self.num_classes + 1)
+            gt_seg_c = (sem_up[..., None] == cls_ids).astype(jnp.float32)
+            gt_dist = jax.vmap(soft_distance_target)((sem_up > 0))
+
+            ismask = batch.get("gt_ismask")
+            if ismask is not None:
+                def nonmask_union(gtb, gtp, ism, gtv):
+                    full = paste_masks(gtp, gtb, (h, w), threshold=-1.0)
+                    wgt = ((ism < 0.5) & gtv).astype(jnp.float32)
+                    return jnp.max(full * wgt[:, None, None], axis=0)
+
+                pos_mask = 1.0 - jnp.clip(jax.vmap(nonmask_union)(
+                    gt_boxes, batch["gt_patches"], ismask, gt_valid
+                ), 0.0, 1.0)
+                pos_mask = jax.lax.stop_gradient(pos_mask)[..., None]
+            else:
+                pos_mask = 1.0
+
+            seg_ce = L.sigmoid_ce(seg_pred, gt_seg_c) * pos_mask
+            losses["loss_binary_seg"] = 0.2 * (
+                jnp.mean(seg_ce)
+                + jnp.mean(
+                    jnp.abs(jax.nn.sigmoid(seg_dist)[..., None] - gt_dist[..., None])
+                    * pos_mask
+                )
+            )
+            present = jax.vmap(
+                lambda lbl, v: jnp.zeros(self.num_classes).at[
+                    jnp.where(v, lbl, 0)
+                ].max(v.astype(jnp.float32))
+            )(gt_labels, gt_valid)
+            losses["loss_global_cls"] = 0.2 * jnp.mean(
+                L.sigmoid_ce(seg_cls, present)
+            )
+
         # ---- watershed proposal injection ---------------------------------
         if self.watershed_proposal:
             ws_boxes5, ws_valid = jax.vmap(

@@ -155,3 +155,46 @@ def test_maskrcnn_losses_cum_passthrough(tiny_maskrcnn):
     )(params, img, batch, cum)
     assert np.isfinite(float(losses["total"]))
     np.testing.assert_array_equal(np.asarray(cum_out), np.asarray(cum))
+
+
+def test_nuhtc_fuse_train_seg_branch_losses():
+    """lite_fuse training adds the seg-branch terms (reference
+    htc_roi_head_cus.py:390-392 + htc_seg_head_cus.py loss/loss_partial):
+    loss_binary_seg + loss_global_cls, finite; with gt_ismask the un-
+    annotated-instance pixels are masked out of the seg/dist terms
+    (loss_partial), so the value must differ from the all-annotated run."""
+    model = NuHTC(
+        num_classes=3,
+        fpn_channels=32,
+        backbone_cfg=TINY_BACKBONE,
+        lite_fuse=True,
+        fuse_max_instances=16,
+        rpn_nms_pre=128,
+        rpn_max_per_img=64,
+        watershed_max=32,
+        nms_candidates=128,
+        scale_factor=2.0,
+    )
+    img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img0, method="init_forward")
+    rng = np.random.RandomState(9)
+    batch = _tiny_batch(b=1, rng=rng)
+    batch["gt_labels"] = jnp.asarray(rng.randint(0, 3, (1, 8)), dtype=jnp.int32)
+    img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+
+    def run(b):
+        losses, _ = model.apply(
+            params, img, b, jnp.zeros((3, 3), jnp.float32),
+            method="compute_losses",
+            rngs={"sampling": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(50)},
+        )
+        return losses
+
+    losses = run(batch)
+    assert np.isfinite(float(losses["loss_binary_seg"]))
+    assert np.isfinite(float(losses["loss_global_cls"]))
+
+    full = dict(batch)
+    full.pop("gt_ismask")
+    losses_full = run(full)
+    assert float(losses_full["loss_binary_seg"]) != float(losses["loss_binary_seg"])
