@@ -1,8 +1,18 @@
-"""Alternative backbones: ViT and SwinUnet (NHWC flax).
+"""Alternative backbones: ViT (ViTDet-style) and SwinUnet (NHWC flax).
 
-Registered-but-unused in the shipped reference configs (reference
-nuhtc/models/backbones/visiontransformer.py, swin_unet.py — SURVEY.md §2a
-"Alt backbones/necks"); provided for config-compatibility and experiments.
+Reference: nuhtc/models/backbones/visiontransformer.py (446 LoC — the ViTDet
+ViT: NHWC blocks, per-block plain-vs-windowed attention via
+``window_block_indexes``, optional decomposed relative position embeddings,
+absolute position embeddings resized from the pretrain grid, outputs every
+3rd block). nuhtc/models/backbones/swin_unet.py is 100% commented-out dead
+code in the reference — the SwinUnet here is a working beyond-reference
+stand-in kept for experimentation. Neither backbone is used by a shipped
+config (SURVEY.md §2a "Alt backbones/necks").
+
+TPU notes: everything stays NHWC end-to-end (the reference permutes to NCHW
+only for its FPN; our necks consume NHWC). Deviation: abs-pos resizing uses
+jax.image.resize cubic (Keys a=-0.5) vs torch bicubic (a=-0.75) — sub-percent
+interpolation difference on an off-main-path warm-start, documented here.
 """
 
 from __future__ import annotations
@@ -21,39 +31,154 @@ from nuhtc_tpu.models.swin import SwinBlock, PatchMergingMM
 Dtype = Any
 
 
+def _vit_window_partition(x: jnp.ndarray, ws: int):
+    """(B, H, W, C) → ((B·nW, ws, ws, C), (Hp, Wp)) with zero padding
+    (reference visiontransformer.py window_partition — no shift)."""
+    b, h, w, c = x.shape
+    pad_h = (-h) % ws
+    pad_w = (-w) % ws
+    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws, ws, c), (hp, wp)
+
+
+def _vit_window_unpartition(wins: jnp.ndarray, ws: int, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = wins.shape[0] // (hp * wp // ws // ws)
+    x = wins.reshape(b, hp // ws, wp // ws, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+def _rel_pos_1d(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
+    """Reference get_rel_pos for the q_size == k_size case used at runtime:
+    index the (2·size-1, head_dim) table by pairwise relative coordinates."""
+    coords = (
+        np.arange(q_size)[:, None] - np.arange(k_size)[None, :] + (k_size - 1)
+    )
+    return rel_pos[coords]  # (q, k, head_dim) — static-index gather
+
+
+class ViTAttention(nn.Module):
+    """Reference visiontransformer.py Attention: packed qkv, optional
+    decomposed relative position bias (add_decomposed_rel_pos)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    use_rel_pos: bool = False
+    input_size: Tuple[int, int] | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C) → (B, H, W, C)."""
+        b, h, w, c = x.shape
+        hd = self.dim // self.num_heads
+        scale = hd**-0.5
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x.reshape(b, h * w, c))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, h * w, self.num_heads, hd)
+        k = k.reshape(b, h * w, self.num_heads, hd)
+        v = v.reshape(b, h * w, self.num_heads, hd)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+
+        if self.use_rel_pos:
+            rel_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, hd), jnp.float32,
+            )
+            rel_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, hd), jnp.float32,
+            )
+            rh = _rel_pos_1d(rel_h, h, h).astype(attn.dtype)  # (h, h, hd)
+            rw = _rel_pos_1d(rel_w, w, w).astype(attn.dtype)  # (w, w, hd)
+            rq = q.reshape(b, h, w, self.num_heads, hd)
+            bias_h = jnp.einsum("bhwnd,hkd->bnhwk", rq, rh)
+            bias_w = jnp.einsum("bhwnd,wkd->bnhwk", rq, rw)
+            attn = attn.reshape(b, self.num_heads, h, w, h, w)
+            attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
+            attn = attn.reshape(b, self.num_heads, h * w, h * w)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h * w, c)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return out.reshape(b, h, w, c)
+
+
 class ViTBlock(nn.Module):
+    """Reference visiontransformer.py Block: pre-LN attention (plain or
+    windowed, no shift) + pre-LN MLP, both with residuals."""
+
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_rel_pos: bool = False
+    window_size: int = 0
+    input_size: Tuple[int, int] | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        """x: (B, N, C) tokens."""
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn"
-        )(y, y)
-        x = x + y
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        y = MLP(hidden=int(self.dim * self.mlp_ratio), out=self.dim, dtype=self.dtype, name="mlp")(
-            y, deterministic=deterministic
+        """x: (B, H, W, C)."""
+        b, h, w, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        attn_size = (
+            (self.window_size, self.window_size)
+            if self.window_size > 0
+            else self.input_size
         )
+        attn = ViTAttention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            use_rel_pos=self.use_rel_pos, input_size=attn_size,
+            dtype=self.dtype, name="attn",
+        )
+        if self.window_size > 0:
+            wins, pad_hw = _vit_window_partition(x, self.window_size)
+            wins = attn(wins)
+            x = _vit_window_unpartition(wins, self.window_size, pad_hw, (h, w))
+        else:
+            x = attn(x)
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = MLP(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
+                dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
         return x + y
 
 
 @BACKBONES.register()
 class ViT(nn.Module):
-    """Plain ViT backbone returning a single stride-16 feature map
-    (reference nuhtc/models/backbones/visiontransformer.py)."""
+    """ViTDet-style plain ViT (reference visiontransformer.py ViT): stride-16
+    patch embed, absolute pos embeddings resized from the pretrain grid (cls
+    token dropped), windowed attention on ``window_block_indexes`` blocks,
+    optional decomposed relative position bias, features emitted after every
+    3rd block."""
 
-    embed_dims: int = 384
-    depth: int = 12
-    num_heads: int = 6
+    img_size: int = 1024
     patch_size: int = 16
+    embed_dims: int = 768
+    depth: int = 12
+    num_heads: int = 12
     mlp_ratio: float = 4.0
-    out_indices: Sequence[int] = (-1,)
+    qkv_bias: bool = True
+    use_abs_pos: bool = True
+    use_rel_pos: bool = False
+    window_size: int = 0
+    window_block_indexes: Sequence[int] = (0, 1, 3, 4, 6, 7, 9, 10)
+    pretrain_img_size: int = 224
+    pretrain_use_cls_token: bool = True
+    out_every: int = 3  # reference: out.append after (i+1) % 3 == 0
     dtype: Dtype = jnp.float32
+    # reference kwargs accepted for config parity
+    drop_path_rate: float = 0.0
+    init_cfg: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -64,29 +189,45 @@ class ViT(nn.Module):
             dtype=self.dtype, name="patch_embed",
         )(x)
         hp, wp = x.shape[1:3]
-        tokens = x.reshape(b, hp * wp, self.embed_dims)
-        pos = self.param(
-            "pos_embed", nn.initializers.truncated_normal(0.02),
-            (1, hp * wp, self.embed_dims), jnp.float32,
-        )
-        tokens = tokens + pos.astype(tokens.dtype)
+
+        if self.use_abs_pos:
+            grid = self.pretrain_img_size // ps
+            n_pos = grid * grid + (1 if self.pretrain_use_cls_token else 0)
+            pos = self.param(
+                "pos_embed", nn.initializers.truncated_normal(0.02),
+                (1, n_pos, self.embed_dims), jnp.float32,
+            )
+            if self.pretrain_use_cls_token:
+                pos = pos[:, 1:]
+            pos = pos.reshape(1, grid, grid, self.embed_dims)
+            if (grid, grid) != (hp, wp):
+                # reference: F.interpolate bicubic align_corners=False;
+                # jax cubic kernel differs slightly (a=-0.5 vs -0.75)
+                pos = jax.image.resize(
+                    pos, (1, hp, wp, self.embed_dims), method="cubic"
+                )
+            x = x + pos.astype(x.dtype)
+
         outs = []
-        out_set = {i % self.depth for i in self.out_indices}
         for i in range(self.depth):
-            tokens = ViTBlock(
+            x = ViTBlock(
                 dim=self.embed_dims, num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio, dtype=self.dtype, name=f"block{i}",
-            )(tokens, deterministic=deterministic)
-            if i in out_set:
-                outs.append(tokens.reshape(b, hp, wp, self.embed_dims))
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                use_rel_pos=self.use_rel_pos,
+                window_size=self.window_size if i in self.window_block_indexes else 0,
+                input_size=(hp, wp), dtype=self.dtype, name=f"block{i}",
+            )(x, deterministic=deterministic)
+            if (i + 1) % self.out_every == 0:
+                outs.append(x)
         return tuple(outs)
 
 
 @BACKBONES.register()
 class SwinUnet(nn.Module):
-    """Swin encoder-decoder (U-shape) backbone
-    (reference nuhtc/models/backbones/swin_unet.py): Swin stages down,
-    upsample+skip stages back up; returns decoder features at 4 scales."""
+    """Swin encoder-decoder (U-shape) backbone. The reference's
+    swin_unet.py is fully commented-out dead code; this is a working
+    beyond-reference implementation: Swin stages down, patch-expand +
+    skip-sum stages back up; returns decoder features at 4 scales."""
 
     embed_dims: int = 96
     depths: Sequence[int] = (2, 2, 2, 2)
