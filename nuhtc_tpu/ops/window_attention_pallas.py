@@ -197,19 +197,12 @@ def _make_block_kernel(ws, wp, c, nh, nb, shift, hidden, qk_scale=None):
 
     def kernel(x_ref, h1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                g2_ref, be2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-               bias_ref, rowpen_ref, o_ref):
-        band = pl.program_id(1)
+               bias_ref, o_ref):
         h1 = h1_ref[0, 0]  # (T, C) bf16 — post-LN1, padded/rolled
         qkv = (
             jnp.dot(h1, wqkv_ref[...], preferred_element_type=jnp.float32)
             + bqkv_ref[...]
         )
-
-        rp = None
-        if shift:
-            rp = rowpen_ref[0].astype(jnp.float32) * (band == nb - 1).astype(
-                jnp.float32
-            )
 
         outs = []
         for h in range(nh):
@@ -220,9 +213,10 @@ def _make_block_kernel(ws, wp, c, nh, nb, shift, hidden, qk_scale=None):
                 q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )
-            attn = attn + bias_ref[h].astype(jnp.float32)
-            if shift:
-                attn = attn + rp
+            # bias_ref block: the index_map already selected the plain table
+            # or the +rowpen variant for the last band (no in-kernel select,
+            # no separate rowpen table in VMEM)
+            attn = attn + bias_ref[0, h].astype(jnp.float32)
             m = jnp.max(attn, axis=1, keepdims=True)
             e = jnp.exp(attn - m)
             s = jnp.sum(e, axis=1, keepdims=True)
@@ -298,6 +292,22 @@ def window_block_fused(
     )
     bias_full = (bias_full + jnp.asarray(pen_np)[None]).astype(jnp.bfloat16)
 
+    # last shifted band gets its own pre-merged (bias + rowpen) table; the
+    # BlockSpec index_map selects variant 0 or 1 per band, so the kernel
+    # holds ONE (nh, T, T) table in VMEM and does no per-step select
+    if shift:
+        bias_both = jnp.stack(
+            [bias_full, bias_full + jnp.asarray(rowpen_np).astype(jnp.bfloat16)[None]]
+        )  # (2, nh, T, T)
+    else:
+        bias_both = bias_full[None]  # (1, nh, T, T)
+    last = nb - 1
+
+    def bias_index(i, j):
+        if shift:
+            return (jnp.where(j == last, 1, 0), 0, 0, 0)
+        return (0, 0, 0, 0)
+
     row = lambda a: a.astype(jnp.float32).reshape(1, -1)
     out = pl.pallas_call(
         kern,
@@ -315,8 +325,7 @@ def window_block_fused(
             pl.BlockSpec((1, hidden), lambda i, j: (0, 0)),
             pl.BlockSpec((hidden, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((num_heads, t, t), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((1, t, t), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, num_heads, t, t), bias_index),
         ],
         out_specs=pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nb, t, c), dtype),
@@ -334,7 +343,6 @@ def window_block_fused(
         row(bfc1),
         wfc2.astype(jnp.bfloat16),
         row(bfc2),
-        bias_full,
-        jnp.asarray(rowpen_np).astype(jnp.bfloat16)[None],
+        bias_both,
     )
     return out.reshape(b, hp, wp, c)
