@@ -216,12 +216,12 @@ class NuHTC(nn.Module):
     def _roi_yband(self) -> int | None:
         return self.roi_yband if self.roi_yband > 0 else None
 
-    def _band_sort_key(self, boxes: jnp.ndarray) -> jnp.ndarray:
+    def _band_sort_key(self, boxes: jnp.ndarray, img_w: int) -> jnp.ndarray:
         """(.., 4) boxes → scalar sort key: y-stripe major, x-center minor —
         chunks of consecutive rois then share a compact (yband, band) feature
-        window. Stripe height is half the y-window at the finest stride,
-        leaving headroom for the roi extent; without y-banding the key
-        degenerates to the plain x sort."""
+        window. ``img_w`` sizes the stripe multiplier so stripes can never
+        interleave (xc = x1+x2 < 2·img_w < the 4·img_w stripe separation).
+        Without y-banding the key degenerates to the plain x sort."""
         xc = boxes[..., 0] + boxes[..., 2]
         if self._roi_yband is None:
             return xc
@@ -230,18 +230,22 @@ class NuHTC(nn.Module):
         # to the exact dense repair (roi_overflow budget)
         stripe = max(1.0, self.roi_yband * self.strides[0] * 2.0 / 3.0)
         yq = jnp.floor((boxes[..., 1] + boxes[..., 3]) * (0.5 / stripe))
-        return yq * 8192.0 + xc
+        return yq * float(4 * img_w) + xc
 
     def _bbox_stage(self, stage: int, feats, semantic_feat, rois, banded: bool = False,
-                    band: int | None = None, overflow: int | None = None):
+                    band: int | None = None, overflow: int | None = None,
+                    use_yband: bool = True):
         """Batched cascade stage. rois: (B, P, 4) → (cls (B,P,C+2), reg (B,P,4)).
         ``banded=True``: rois are x-sorted → banded RoIAlign (see roi_band).
         ``band``/``overflow`` override the inference defaults (the train path
-        uses a wider band + larger repair budget — see train_roi_band)."""
+        uses a wider band + larger repair budget — see train_roi_band).
+        ``use_yband=False``: x-banding only — the train path sorts by x alone,
+        so the (y-stripe, x) window assumption does not hold there."""
         b, p, _ = rois.shape
         if band is None:
             band = self._roi_band(banded)
         overflow = self.roi_overflow if overflow is None else overflow
+        yband = self._roi_yband if use_yband else None
 
         if band is not None:
             # banded extraction with one union overflow repair per stage; the
@@ -256,7 +260,7 @@ class NuHTC(nn.Module):
                     strides=self.strides, start_level=self.attn_start_level,
                     thres=self.attn_thres, band=band,
                     overflow_slots=overflow, sem_pool_from=14,
-                    fc0_kernel=w0, yband=self._roi_yband, chunk=self.roi_chunk,
+                    fc0_kernel=w0, yband=yband, chunk=self.roi_chunk,
                 )
 
             fc0_pre = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
@@ -400,7 +404,7 @@ class NuHTC(nn.Module):
         # through all stages (per-roi refinement preserves row identity) and
         # NMS is order-independent, so nothing downstream needs unsorting.
         if self._roi_band(True) is not None:
-            order = jnp.argsort(self._band_sort_key(rois), axis=1)
+            order = jnp.argsort(self._band_sort_key(rois, w), axis=1)
             rois = jnp.take_along_axis(rois, order[..., None], axis=1)
             rois_valid = jnp.take_along_axis(rois_valid, order, axis=1)
 
@@ -431,7 +435,7 @@ class NuHTC(nn.Module):
         if self._roi_band(True) is not None:
             # NMS output is score-ordered; re-sort by (y-stripe, x) for banded
             # extraction and unsort the mask probs back to detection order.
-            morder = jnp.argsort(self._band_sort_key(mask_boxes), axis=1)
+            morder = jnp.argsort(self._band_sort_key(mask_boxes, w), axis=1)
             minv = jnp.argsort(morder, axis=1)
             mask_probs = self._mask_forward(
                 feats, semantic_feat,
@@ -595,9 +599,23 @@ class NuHTC(nn.Module):
             sem_up = jnp.repeat(jnp.repeat(gt_sem, fac, axis=1), fac, axis=2)
             cls_ids = jnp.arange(1, self.num_classes + 1)
             gt_seg_c = (sem_up[..., None] == cls_ids).astype(jnp.float32)
-            gt_dist = jax.vmap(soft_distance_target)((sem_up > 0))
 
             ismask = batch.get("gt_ismask")
+
+            # PER-INSTANCE normalized interior distance (reference builds
+            # gt_dist instance-by-instance, htc_seg_head_cus.py:165-180 — the
+            # union blob would erase the valley between touching nuclei that
+            # the dist map exists to mark). Annotated instances only.
+            def inst_dist(gtb, gtp, keep):
+                full = paste_masks(gtp, gtb, (h, w), threshold=0.5)
+                full = full.astype(jnp.float32) * keep.astype(jnp.float32)[:, None, None]
+                return jnp.max(jax.vmap(soft_distance_target)(full), axis=0)
+
+            keep = gt_valid if ismask is None else (gt_valid & (ismask > 0.5))
+            gt_dist = jax.lax.stop_gradient(
+                jax.vmap(inst_dist)(gt_boxes, batch["gt_patches"], keep)
+            )
+
             if ismask is not None:
                 def nonmask_union(gtb, gtp, ism, gtv):
                     full = paste_masks(gtp, gtb, (h, w), threshold=-1.0)
@@ -697,7 +715,7 @@ class NuHTC(nn.Module):
                     stage, feats, semantic_feat,
                     jnp.take_along_axis(rois, order[..., None], axis=1),
                     banded=True, band=self.train_roi_band,
-                    overflow=self.train_roi_overflow,
+                    overflow=self.train_roi_overflow, use_yband=False,
                 )
                 cls_score = jnp.take_along_axis(cls_s, inv[..., None], axis=1)
                 bbox_pred = jnp.take_along_axis(reg_s, inv[..., None], axis=1)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from nuhtc_tpu.ops.roi_align import (
     roi_align, attention_pool, banded_plan, banded_chunk_t2,
+    overflow_plan, overflow_merge,
 )
 
 
@@ -206,11 +207,8 @@ def banded_stage_features(
                 pooled[:, None, :], (r, output_size * output_size, c)
             ).reshape(r, flat)
 
-    k = min(overflow_slots, r)
-    if k:
-        slot = jnp.cumsum(oflow.astype(jnp.int32)) - 1
-        sel = oflow & (slot < k)
-        idx = jnp.nonzero(oflow, size=k, fill_value=r)[0]
+    if min(overflow_slots, r):
+        k, slot, sel, idx = overflow_plan(oflow, overflow_slots)
         sub_rois = rois[jnp.minimum(idx, r - 1)]
         sub = attention_roi_features(
             feats, sub_rois, output_size, sampling_ratio, strides=strides,
@@ -226,12 +224,7 @@ def banded_stage_features(
             sub = jnp.dot(
                 sub.astype(cdtype), w0, preferred_element_type=jnp.float32
             )
-        onehot = (slot[:, None] == jnp.arange(k)[None, :]) & sel[:, None]
-        repair = jnp.einsum(
-            "rk,kf->rf", onehot.astype(out.dtype), sub,
-            preferred_element_type=jnp.float32,
-        ).astype(out.dtype)
-        out = jnp.where(sel[:, None], repair, out)
+        out = overflow_merge(out, slot, sel, sub)
     return out
 
 

@@ -236,6 +236,36 @@ def banded_chunk_t2(
     )
 
 
+def overflow_plan(overflow: jnp.ndarray, slots: int):
+    """Repair bookkeeping shared by roi_align's banded branch and
+    banded_stage_features: → (k, slot (R,), sel (R,), idx (k,)) where the
+    first ``k`` overflowing rois (raster order of the flag) map to
+    replacement slots; ``idx`` gathers their row indices (padding = R)."""
+    r = overflow.shape[0]
+    k = min(slots, r)
+    slot = jnp.cumsum(overflow.astype(jnp.int32)) - 1  # (R,)
+    sel = overflow & (slot < k)
+    idx = jnp.nonzero(overflow, size=k, fill_value=r)[0]
+    return k, slot, sel, idx
+
+
+def overflow_merge(out, slot, sel, sub_flat, cdtype=None,
+                   prec=jax.lax.Precision.DEFAULT):
+    """Merge ``sub_flat`` (k, F) replacement rows into ``out`` (R, ...) via a
+    one-hot matmul + select — scatters/gathers lower poorly on TPU, while an
+    (R, k) one-hot dot is a trivially MXU-shaped copy that reproduces the
+    replacement values exactly (one nonzero product per output row)."""
+    k = sub_flat.shape[0]
+    mdtype = cdtype or out.dtype
+    onehot = (slot[:, None] == jnp.arange(k)[None, :]) & sel[:, None]
+    repair = jnp.einsum(
+        "rk,kf->rf", onehot.astype(mdtype), sub_flat.astype(mdtype),
+        precision=prec, preferred_element_type=jnp.float32,
+    ).astype(out.dtype).reshape(out.shape)
+    selb = sel.reshape(sel.shape + (1,) * (out.ndim - 1))
+    return jnp.where(selb, repair, out)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -338,29 +368,16 @@ def roi_align(
             return out.astype(dtype), overflow
         if overflow_slots:
             # exact repair: recompute overflowing rois through the dense path
-            # and merge the replacements with a one-hot matmul + select —
-            # scatters/gathers lower poorly on TPU, while a (R, slots) one-hot
-            # dot is a trivially MXU-shaped copy that reproduces the dense
-            # values exactly (one nonzero product per output row).
-            k = min(overflow_slots, r)
-            slot = jnp.cumsum(overflow.astype(jnp.int32)) - 1  # (R,)
-            sel = overflow & (slot < k)
-            idx = jnp.nonzero(overflow, size=k, fill_value=r)[0]
+            # and merge the replacements (overflow_plan/overflow_merge)
+            k, slot, sel, idx = overflow_plan(overflow, overflow_slots)
             sub_rois = rois_in[jnp.minimum(idx, r - 1)]
             sub = roi_align(
                 feat, sub_rois, spatial_scale, output_size,
                 sampling_ratio=sampling_ratio, max_grid=max_grid, chunk=chunk,
                 exact=exact, pool_from=pool_from, unroll=unroll,
             )
-            onehot = (slot[:, None] == jnp.arange(k)[None, :]) & sel[:, None]
-            repair = jnp.einsum(
-                "rk,kf->rf",
-                onehot.astype(cdtype),
-                sub.reshape(k, -1).astype(cdtype),
-                precision=prec, preferred_element_type=jnp.float32,
-            ).astype(out.dtype).reshape(out.shape)
-            selb = sel[:, None] if flat_output else sel[:, None, None, None]
-            out = jnp.where(selb, repair, out)
+            out = overflow_merge(out, slot, sel, sub.reshape(k, -1),
+                                 cdtype=cdtype, prec=prec)
         return out.astype(dtype)
 
     start_h, bin_h, grid_h, start_w, bin_w, grid_w, mg = _geometry(

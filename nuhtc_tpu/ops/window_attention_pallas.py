@@ -12,7 +12,7 @@ Key trick: a window-row band of shape (ws, Wp, C) is attention-equivalent to
 a single (T=ws·Wp) token sequence with BLOCK-DIAGONAL attention — token j
 belongs to window (j mod Wp) // ws. All windows of the band are processed by
 ONE (T, T) masked matmul per head: the off-window penalty, the shifted-window
-column penalty, and the last-band row penalty are all static (T, T) tables
+column penalty, and the last-band row penalty are all static (T, T) tables.
 The learned 49×49 relative bias is expanded to the band ONCE per call in XLA
 (P @ b49 @ Pᵀ — no gathers), merged with the static penalties, and handed to
 the kernel as a (nh, T, T) bf16 table that stays VMEM-resident across grid
@@ -43,8 +43,8 @@ SHIFT_PEN = -100.0  # reference shift-mask additive value (swin.py _shift_attn_m
 @lru_cache(maxsize=32)
 def _static_tables(ws: int, wp: int, hp: int, shift: int):
     """Host-side constants for a band: one-hot window-position matrix P
-    (T, ws²), its transpose, the static penalty (off-window + shifted column
-    regions) and the last-band row penalty."""
+    (T, ws²), the static penalty (off-window + shifted column regions) and
+    the last-band row penalty."""
     t = ws * wp
     ri = np.arange(t) // wp  # local row in band (0..ws-1)
     ci = np.arange(t) % wp  # column in padded row
@@ -66,7 +66,6 @@ def _static_tables(ws: int, wp: int, hp: int, shift: int):
         rowpen = np.zeros((t, t))
     return (
         p.astype(np.float32),
-        p.T.copy().astype(np.float32),
         pen.astype(np.float32),
         rowpen.astype(np.float32),
     )
@@ -144,7 +143,7 @@ def window_attention_fused(
     assert hp % ws == 0 and wp % ws == 0, (hp, wp, ws)
     nb = hp // ws
     t = ws * wp
-    p_np, pt_np, pen_np, rowpen_np = _static_tables(ws, wp, hp, shift)
+    p_np, pen_np, rowpen_np = _static_tables(ws, wp, hp, shift)
 
     dtype = xp.dtype
     x2 = xp.reshape(b, nb, t, c)
@@ -187,7 +186,7 @@ def window_attention_fused(
     return out.reshape(b, hp, wp, c)
 
 
-def _make_block_kernel(ws, wp, c, nh, nb, shift, hidden, qk_scale=None):
+def _make_block_kernel(ws, wp, c, nh, hidden, qk_scale=None):
     """Full Swin block tail: attention on the pre-normed band + residual +
     LN2 + exact-gelu MLP + residual — one VMEM pass (the XLA lowering round-
     trips the (B, Hp, Wp, C) map through HBM between each of those ops)."""
@@ -278,12 +277,12 @@ def window_block_fused(
     nb = hp // ws
     t = ws * wp
     hidden = wfc1.shape[1]
-    p_np, pt_np, pen_np, rowpen_np = _static_tables(ws, wp, hp, shift)
+    p_np, pen_np, rowpen_np = _static_tables(ws, wp, hp, shift)
 
     dtype = xp.dtype
     x2d = xp.reshape(b, nb, t, c)
     h2d = h1p.reshape(b, nb, t, c)
-    kern = _make_block_kernel(ws, wp, c, num_heads, nb, shift, hidden, qk_scale)
+    kern = _make_block_kernel(ws, wp, c, num_heads, hidden, qk_scale)
 
     p = jnp.asarray(p_np)
     bias_full = jnp.einsum(
