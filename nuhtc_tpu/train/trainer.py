@@ -204,7 +204,10 @@ class Trainer:
                     )
                     self.logger.info(msg)
                     self.json_log.write(
-                        json.dumps({"epoch": epoch + 1, "iter": i + 1, "lr": lr, **m}) + "\n"
+                        json.dumps(
+                            {"mode": "train", "epoch": epoch + 1, "iter": i + 1,
+                             "lr": lr, **m}
+                        ) + "\n"
                     )
                     self.json_log.flush()
                 if vis_hook is not None and gstep and gstep % vis_hook.interval == 0:
@@ -221,7 +224,10 @@ class Trainer:
             if test_dataset is not None and (epoch + 1) % self.eval_interval == 0:
                 for name, p in self._eval_submodules(state).items():
                     try:
-                        self._evaluate(test_dataset, jax.device_get(p), tag=name)
+                        self._evaluate(
+                            test_dataset, jax.device_get(p), tag=name,
+                            epoch=epoch + 1,
+                        )
                     except Exception as e:  # eval must not kill training
                         self.logger.warning(f"eval[{name}] failed: {e}")
         self.logger.info(f"training done in {(time.time() - t_start) / 3600:.2f}h")
@@ -268,7 +274,8 @@ class Trainer:
             return {}
         return {"ema": default}
 
-    def _evaluate(self, dataset, params, limit: int = 256, tag: str = "ema"):
+    def _evaluate(self, dataset, params, limit: int = 256, tag: str = "ema",
+                  epoch: int | None = None):
         from nuhtc_tpu.apis.inference import InferenceEngine
         from nuhtc_tpu.eval.evaluate import evaluate_dataset
         from nuhtc_tpu.ops import rle as rle_ops
@@ -304,4 +311,15 @@ class Trainer:
                 f"{k}: {v:.4f}" for k, v in metrics.items() if isinstance(v, float)
             )
         )
+        # val rows in the json log (mode=val) — analyze_logs plots per-epoch
+        # metric curves from these (reference analyze_wsi_logs plot_curve)
+        if epoch is not None:
+            self.json_log.write(
+                json.dumps(
+                    {"mode": "val", "epoch": epoch, "tag": tag,
+                     **{k: float(v) for k, v in metrics.items()
+                        if isinstance(v, (int, float))}}
+                ) + "\n"
+            )
+            self.json_log.flush()
         return metrics
