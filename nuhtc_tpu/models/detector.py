@@ -299,16 +299,29 @@ class NuHTC(nn.Module):
         band = self._roi_band(banded)
 
         if band is not None:
+            # lite: the mask head's conv0 folds into the banded scan body
+            # (mask_head.py split-conv0 modes; _Cus needs the raw features
+            # for per-stage heads with info-flow, so it keeps them)
+            w0c = None
+            if self.lite:
+                w0c, _ = self.mask_head(None, return_conv0=True)
+
             def per_image(f_tuple, sem, r):
                 return banded_stage_features(
                     f_tuple, sem, r, output_size=14, sampling_ratio=0,
                     strides=self.strides, start_level=self.attn_start_level,
                     thres=self.attn_thres, band=band,
                     overflow_slots=self.roi_overflow, yband=self._roi_yband,
-                    chunk=self.roi_chunk,
+                    chunk=self.roi_chunk, conv0_kernel=w0c,
                 )
 
             mask_feats = jax.vmap(per_image)(tuple(feats), semantic_feat, boxes)
+            if self.lite:
+                logits = self.mask_head(
+                    mask_feats.reshape(b * d, 14, 14, -1), res_feat=None,
+                    return_logits=True, return_feat=False, conv0_pre=True,
+                )
+                return jax.nn.sigmoid(logits[..., 0]).reshape(b, d, 28, 28)
         else:
             def per_image(f_tuple, sem, r):
                 rf = attention_roi_features(

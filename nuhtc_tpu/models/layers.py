@@ -69,6 +69,28 @@ class DenseParams(nn.Module):
         return k, b
 
 
+class ConvParams(nn.Module):
+    """Parameter holder with an nn.Conv-compatible tree (kernel/bias, HWIO)
+    so the same weights can feed a standard conv or a computation that folds
+    the conv elsewhere (e.g. the mask head's conv0 inside the banded RoI
+    scan)."""
+
+    ksize: int
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.ksize, self.ksize, self.features_in, self.features_out),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features_out,), jnp.float32)
+        return k, b
+
+
 class NormedLinear(nn.Module):
     """L2-normalized linear classifier with temperature (Seesaw predictor).
 

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nuhtc_tpu.registry import HEADS
+from nuhtc_tpu.models.layers import ConvParams
 from nuhtc_tpu.ops.components import resize_align_corners
 
 Dtype = Any
@@ -35,14 +36,34 @@ class HTCMaskHead(nn.Module):
     loss_mask: Any = None  # config key
 
     @nn.compact
-    def __call__(self, x, res_feat=None, return_logits=True, return_feat=True):
-        """x: (R, S, S, C). Returns logits (R, 2S, 2S, out) and/or feat."""
-        if res_feat is not None:
-            res_feat = nn.relu(
-                nn.Conv(self.conv_out_channels, (1, 1), dtype=self.dtype, name="conv_res")(res_feat)
-            )
-            x = x + res_feat
-        for i in range(self.num_convs):
+    def __call__(self, x, res_feat=None, return_logits=True, return_feat=True,
+                 conv0_pre: bool = False, return_conv0: bool = False):
+        """x: (R, S, S, C). Returns logits (R, 2S, 2S, out) and/or feat.
+
+        Split-conv0 modes (the banded RoI scan folds conv0's SAME 3×3 conv
+        into its loop body — roi_extractor.banded_stage_features
+        ``conv0_kernel``; valid only for the res_feat=None lite path since
+        conv0 must see x + res_feat otherwise):
+          ``return_conv0=True`` → (kernel (3, 3, C, C'), bias (C',)).
+          ``conv0_pre=True`` → x is the (R, S, S, C') pre-bias conv0 output;
+          the head adds bias + ReLU and continues from conv1."""
+        if return_conv0 or conv0_pre:
+            w0, b0 = ConvParams(
+                3, self.in_channels, self.conv_out_channels, name="conv0"
+            )()
+            if return_conv0:
+                return w0, b0
+            assert res_feat is None, "conv0 fold requires res_feat=None"
+            x = nn.relu((x + b0).astype(self.dtype))
+            start = 1
+        else:
+            if res_feat is not None:
+                res_feat = nn.relu(
+                    nn.Conv(self.conv_out_channels, (1, 1), dtype=self.dtype, name="conv_res")(res_feat)
+                )
+                x = x + res_feat
+            start = 0
+        for i in range(start, self.num_convs):
             x = nn.relu(
                 nn.Conv(
                     self.conv_out_channels, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{i}"

@@ -65,6 +65,26 @@ def attention_roi_features(
     return out
 
 
+def conv3x3_same(x: jnp.ndarray, kernel: jnp.ndarray,
+                 cdtype=jnp.bfloat16) -> jnp.ndarray:
+    """SAME 3×3 conv as an unfold + matmul (x (N, S, S, C), kernel HWIO
+    (3, 3, C, C') pre-reshaped or not) → (N, S, S, C') f32 pre-bias.
+    Used to fold the mask head's conv0 into the banded scan body and to map
+    overflow-repair features through the same linear op."""
+    n, s, _, c = x.shape
+    co = kernel.shape[-1]
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = jnp.concatenate(
+        [p[:, dy:dy + s, dx:dx + s, :] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # (N, S, S, 9C) in (dy, dx, c) order — matches kernel.reshape(9C, C')
+    w9 = kernel.reshape(9 * c, co).astype(cdtype)
+    return jnp.dot(
+        cols.reshape(n, s * s, 9 * c).astype(cdtype), w9,
+        preferred_element_type=jnp.float32,
+    ).reshape(n, s, s, co)
+
+
 def single_roi_features(
     feat: jnp.ndarray,  # (H, W, C)
     rois: jnp.ndarray,
@@ -98,6 +118,7 @@ def banded_stage_features(
     overflow_slots: int = 128,
     sem_pool_from: int | None = None,
     fc0_kernel: jnp.ndarray | None = None,
+    conv0_kernel: jnp.ndarray | None = None,
     yband: int | None = None,
     chunk: int = 16,
 ) -> jnp.ndarray:
@@ -122,6 +143,12 @@ def banded_stage_features(
     (it cost ~3 ms/stage of HBM traffic + layout copies at B16×1512 rois).
     Returns (R, F) f32 pre-bias outputs; exact vs the unfused path by
     linearity (repair happens in fc0-output space).
+
+    ``conv0_kernel`` (3, 3, C, C'): same idea for the mask head — each
+    chunk's completed (chunk, out, out, C) feature goes through a SAME 3×3
+    unfold-matmul conv in-body; returns FLAT (R, out*out*C') f32 pre-bias
+    conv0 outputs (repair maps through the same conv — linear). Mutually
+    exclusive with fc0_kernel.
     """
     r = rois.shape[0]
     dtype = feats[0].dtype
@@ -161,17 +188,20 @@ def banded_stage_features(
         p = attention_pool(feats[lvl], rois, strides[lvl], thres)  # (R, C)
         pooled = p if pooled is None else pooled + p
 
-    if fc0_kernel is not None:
-        # complete each chunk's feature in-body and contract with fc0 —
-        # the scan emits (chunk, F) rows, never the (R, flat) activation
+    assert fc0_kernel is None or conv0_kernel is None
+    if fc0_kernel is not None or conv0_kernel is not None:
+        # complete each chunk's feature in-body and push it through the
+        # folded head op (fc0 matmul or conv0 unfold-matmul) — the scan
+        # emits post-op rows, never the (R, flat) activation
         pad = n_chunks * chunk - r
         if pooled is None:
             pooled = jnp.zeros((r, c), jnp.float32)
         pooled_c = jnp.pad(pooled.astype(jnp.float32), ((0, pad), (0, 0)))
         pooled_c = pooled_c.reshape(n_chunks, chunk, c)
-        w0 = fc0_kernel.astype(cdtype)
+        w0 = None if fc0_kernel is None else fc0_kernel.astype(cdtype)
+        co = None if conv0_kernel is None else conv0_kernel.shape[-1]
 
-        def body_fc0(_, xs):
+        def body_fold(_, xs):
             *level_xs, p_c = xs
             acc = jnp.zeros((chunk, output_size * output_size, c), jnp.float32)
             for ft, (b_eff, yb_eff), (sy_c, sx_c, c0, r0) in zip(
@@ -182,14 +212,19 @@ def banded_stage_features(
                 )
                 acc = acc + t2.reshape(chunk, output_size * output_size, c)
             acc = acc + p_c[:, None, :]
-            y = jnp.dot(
-                acc.reshape(chunk, flat).astype(cdtype), w0,
-                preferred_element_type=jnp.float32,
+            if w0 is not None:
+                return None, jnp.dot(
+                    acc.reshape(chunk, flat).astype(cdtype), w0,
+                    preferred_element_type=jnp.float32,
+                )
+            y = conv3x3_same(
+                acc.reshape(chunk, output_size, output_size, c),
+                conv0_kernel, cdtype=cdtype,
             )
-            return None, y
+            return None, y.reshape(chunk, output_size * output_size * co)
 
-        _, out = jax.lax.scan(body_fc0, None, tuple(plans) + (pooled_c,))
-        out = out.reshape(-1, w0.shape[-1])[:r]  # (R, F) f32
+        _, out = jax.lax.scan(body_fold, None, tuple(plans) + (pooled_c,))
+        out = out.reshape(-1, out.shape[-1])[:r]  # (R, F|out²C') f32
     else:
         def body(_, xs):
             acc = jnp.zeros((chunk, flat), jnp.float32)
@@ -218,12 +253,15 @@ def banded_stage_features(
             sampling_ratio=0 if sem_pool_from else sampling_ratio,
             max_grid=max_grid, pool_from=sem_pool_from,
         )
-        sub = sub.reshape(k, -1)
         if fc0_kernel is not None:
             # repair in fc0-output space — exact by linearity
             sub = jnp.dot(
-                sub.astype(cdtype), w0, preferred_element_type=jnp.float32
+                sub.reshape(k, -1).astype(cdtype), w0,
+                preferred_element_type=jnp.float32,
             )
+        elif conv0_kernel is not None:
+            sub = conv3x3_same(sub, conv0_kernel, cdtype=cdtype)
+        sub = sub.reshape(k, -1)
         out = overflow_merge(out, slot, sel, sub)
     return out
 

@@ -198,3 +198,40 @@ def test_banded_stage_fc0_fold_matches_post_matmul():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=5e-2, rtol=1e-2
     )
+
+
+def test_banded_stage_conv0_fold_matches_post_conv():
+    """conv0_kernel folding == (features then SAME 3x3 conv), incl. repaired
+    rois (linear, like the fc0 fold)."""
+    import jax
+    from nuhtc_tpu.models.roi_extractor import banded_stage_features, conv3x3_same
+
+    rng = np.random.RandomState(10)
+    feats, sem, rois_np = _stage_inputs(rng, 64, max_wh=120.0)
+    rng.shuffle(rois_np)
+    rois = jnp.asarray(rois_np)
+    w0 = jnp.asarray(rng.randn(3, 3, 16, 24).astype(np.float32) * 0.1)
+
+    kw = dict(band=32, overflow_slots=rois.shape[0])
+    feats_flat = banded_stage_features(feats, sem, rois, 14, 0, **kw)
+    ref = conv3x3_same(feats_flat.reshape(-1, 14, 14, 16), w0)
+    fused = banded_stage_features(feats, sem, rois, 14, 0, conv0_kernel=w0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(fused).reshape(ref.shape), np.asarray(ref),
+        atol=5e-2, rtol=1e-2,
+    )
+
+
+def test_conv3x3_same_matches_lax_conv():
+    """The unfold-matmul conv == lax.conv_general_dilated SAME."""
+    import jax
+    from nuhtc_tpu.models.roi_extractor import conv3x3_same
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(4, 14, 14, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 12).astype(np.float32))
+    got = conv3x3_same(x, w, cdtype=jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
