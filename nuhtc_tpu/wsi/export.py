@@ -70,6 +70,7 @@ class NucleiExporter:
         boxes: np.ndarray,  # slide-frame xyxy
         rles: Optional[List[dict]] = None,  # tile-frame RLEs for coco mode
         tile_hw: Optional[tuple] = None,
+        tile: Optional[np.ndarray] = None,  # RGB tile pixels (coco mode)
     ):
         m = self.mode
         if m in ("qupath", "all"):
@@ -124,6 +125,14 @@ class NucleiExporter:
                 dict(file_name=f"{annidx}.png", height=h, width=w, id=annidx,
                      n_objects=len(contours))
             )
+            if tile is not None:
+                # reference infer_wsi.py:631-634 saves the patch image next
+                # to the COCO json so file_name entries resolve
+                import cv2
+
+                pdir = os.path.join(self.out_dir, "patches")
+                os.makedirs(pdir, exist_ok=True)
+                cv2.imwrite(os.path.join(pdir, f"{annidx}.png"), tile[..., ::-1])
             for i, r in enumerate(rles):
                 counts = r["counts"].decode() if isinstance(r["counts"], bytes) else r["counts"]
                 bb = rle_ops.toBbox(r).tolist()

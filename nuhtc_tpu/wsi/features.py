@@ -112,18 +112,20 @@ def _glcm(gray: np.ndarray, mask: np.ndarray, levels: int = 16) -> Dict[str, flo
     feats: Dict[str, float] = {}
     if not per_offset:
         keys = list(_glcm_single(np.full((levels, levels), 1.0 / levels**2), levels))
-        for k in keys:
+        for k in keys + ["energy"]:
             feats[k] = 0.0
             feats[f"{k}_range"] = 0.0
-        feats["energy"] = 0.0
         return feats
+    # histomicstk reports every Haralick stat per direction then Mean/Range —
+    # energy included: energy_d = sqrt(ASM_d) per offset, THEN mean/range
+    # (sqrt(mean(asm)) != mean(sqrt(asm)) on anisotropic textures)
+    for po in per_offset:
+        po["energy"] = math.sqrt(max(po["asm"], 0.0))
     keys = per_offset[0].keys()
     for k in keys:
         vals = [po[k] for po in per_offset]
         feats[k] = float(np.mean(vals))
         feats[f"{k}_range"] = float(np.max(vals) - np.min(vals))
-    feats["energy"] = math.sqrt(max(feats.pop("asm"), 0.0))
-    feats["asm"] = feats["energy"] ** 2
     return feats
 
 
@@ -199,7 +201,11 @@ def _fsd(cont: np.ndarray, k: int = 6, n_boundary: int = 128) -> Dict[str, float
         edges = np.concatenate([edges, [edges[-1] + 1]])
     out = {}
     for i in range(k):
-        lo, hi = edges[i] - 1, min(edges[i + 1] - 1, half)
+        # the LAST wedge closes at the Nyquist bin folded[half-1] inclusive
+        # (edges[-1] == half; a bound of edges[i+1]-1 would drop it from
+        # every wedge while the normalizer tot still counts it)
+        lo = edges[i] - 1
+        hi = half if i == k - 1 else min(edges[i + 1] - 1, half)
         out[f"fsd{i + 1}"] = float(folded[lo:hi].sum() / tot)
     return out
 

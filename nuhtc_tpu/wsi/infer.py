@@ -56,25 +56,37 @@ def tile_stream(
                 slide.read_region((int(x), int(y)), patch_level, (patch_size, patch_size))
                 for x, y in batch_coords
             ]
-            out_q.put((start, tiles, batch_coords))
+            # bounded put that re-checks the shutdown flag: a consumer that
+            # abandons the generator mid-slide (exception in postprocess,
+            # early break) must not leave workers blocked forever on a full
+            # queue holding the slide reader + buffered tiles
+            while not done.is_set():
+                try:
+                    out_q.put((start, tiles, batch_coords), timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
 
     threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_threads)]
     for t in threads:
         t.start()
 
-    # re-order by start index for deterministic output
-    pending: Dict[int, tuple] = {}
-    expected = 0
-    received = 0
-    while received < n_batches:
-        start, tiles, bc = out_q.get()
-        pending[start] = (tiles, bc)
-        received += 1
-        while expected in pending:
-            tiles, bc = pending.pop(expected)
-            yield tiles, bc
-            expected += batch_size
-    done.set()
+    try:
+        # re-order by start index for deterministic output
+        pending: Dict[int, tuple] = {}
+        expected = 0
+        received = 0
+        while received < n_batches:
+            start, tiles, bc = out_q.get()
+            pending[start] = (tiles, bc)
+            received += 1
+            while expected in pending:
+                tiles, bc = pending.pop(expected)
+                yield tiles, bc
+                expected += batch_size
+    finally:
+        # runs on normal exhaustion AND on generator close/abandonment
+        done.set()
 
 
 @dataclass
@@ -161,15 +173,22 @@ def infer_slide(
     n_tiles = len(coords)
     n_nuclei = 0
     annidx = 0
-    def process(handle, batch_coords):
+    coco_mode = mode in ("coco", "all")
+
+    def process(handle, batch_coords, tiles):
         nonlocal n_nuclei, annidx
-        for res, coord in zip(engine.collect(handle), batch_coords):
+        for res, coord, tile in zip(engine.collect(handle), batch_coords, tiles):
             conts, labels, scores, boxes, rles = postprocess_tile(
                 res, tuple(coord), patch_size, cfg
             )
-            if conts:
+            # coco mode registers EVERY tile (empty ones included — negatives
+            # must appear in 'images') and saves the patch png its file_name
+            # points at; other modes skip empty tiles
+            if conts or coco_mode:
                 exporter.add_tile(
-                    annidx, conts, labels, scores, boxes, rles, (patch_size, patch_size)
+                    annidx, conts, labels, scores, boxes, rles,
+                    (patch_size, patch_size),
+                    tile=tile if coco_mode else None,
                 )
                 n_nuclei += len(conts)
             annidx += 1
@@ -191,7 +210,7 @@ def infer_slide(
         handle = engine.dispatch(tiles)
         if pending is not None:
             process(*pending)
-        pending = (handle, batch_coords)
+        pending = (handle, batch_coords, tiles)
     if pending is not None:
         process(*pending)
     exporter.close()

@@ -129,9 +129,10 @@ def merge_features(
         if not submergers or merge_strategy == "probability":
             kept.append(qi)
         elif merge_strategy == "area":
-            group = [qi] + submergers
-            areas = [poly_area(polys[j]) for j in group]
-            kept.append(group[int(np.argmax(areas))])
+            # reference nuclei_merge.py:146-150: the largest SUBMERGER wins
+            # (the query itself is not a candidate)
+            areas = [poly_area(polys[j]) for j in submergers]
+            kept.append(submergers[int(np.argmax(areas))])
         else:
             raise ValueError(f"invalid merge strategy {merge_strategy!r}")
     return [features[order[i]] for i in sorted(kept)]

@@ -57,9 +57,11 @@ def segment_tissue(
         binarized = cv2.morphologyEx(binarized, cv2.MORPH_CLOSE, kernel)
 
     scale = ds
-    scaled_ref_area = ref_patch_size**2 / (scale * scale)
-    a_t = a_t * scaled_ref_area / 512.0
-    a_h = a_h * scaled_ref_area / 512.0
+    # reference WholeSlideImage.py:178-181: thresholds scale by
+    # round(ref_patch_size / downsample), NOT by the area ratio
+    scaled_ref_area = round(ref_patch_size / scale)
+    a_t = a_t * scaled_ref_area
+    a_h = a_h * scaled_ref_area
 
     contours, hierarchy = cv2.findContours(binarized, cv2.RETR_CCOMP, cv2.CHAIN_APPROX_NONE)
     if hierarchy is None:
@@ -81,18 +83,23 @@ def segment_tissue(
     return TissueSegmentation(keep_contours, keep_holes, seg_level, ds)
 
 
-def _four_pt_check(cont: np.ndarray, pt: Tuple[int, int], patch_size: int, shift_div: int = 2) -> bool:
-    """Reference isInContourV3_Easy: center + 4 shifted points, any inside."""
+def _four_pt_check(cont: np.ndarray, pt: Tuple[int, int], patch_size: int,
+                   center_shift: float = 0.5) -> bool:
+    """Reference isInContourV3_Easy (tools/wsi_core/util_classes.py:71-89):
+    4 corner points at shift = patch_size//2 * center_shift from the patch
+    center; any inside passes. shift == 0 degenerates to the center point."""
     cx = pt[0] + patch_size // 2
     cy = pt[1] + patch_size // 2
-    shift = patch_size // shift_div
-    points = [
-        (cx - shift, cy - shift),
-        (cx + shift, cy + shift),
-        (cx + shift, cy - shift),
-        (cx - shift, cy + shift),
-        (cx, cy),
-    ]
+    shift = int(patch_size // 2 * center_shift)
+    if shift > 0:
+        points = [
+            (cx - shift, cy - shift),
+            (cx + shift, cy + shift),
+            (cx + shift, cy - shift),
+            (cx - shift, cy + shift),
+        ]
+    else:
+        points = [(cx, cy)]
     for p in points:
         if cv2.pointPolygonTest(cont, p, False) >= 0:
             return True

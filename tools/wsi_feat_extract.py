@@ -43,8 +43,18 @@ def extract_slide_features(slide_path: str, geojson_path: str, out_csv: str,
         if w <= 0 or h <= 0 or w * h > 4_000_000:
             continue
         crop = slide.read_region((int(x1), int(y1)), 0, (int(w), int(h)))
-        mask = np.zeros((h, w), np.uint8)
-        cv2.fillPoly(mask, [np.round(poly - [x1, y1]).astype(np.int32)], 1)
+        local = poly - [x1, y1]
+        if mag != 40:
+            # reference wsi_feat_extract.py:50-55: normalize every crop and
+            # its polygon to 40x scale before computing features, so shape/
+            # texture columns are magnification-invariant
+            ratio = 40.0 / mag
+            crop = cv2.resize(
+                crop, (int(w * ratio), int(h * ratio)), interpolation=cv2.INTER_LINEAR
+            )
+            local = local * ratio
+        mask = np.zeros(crop.shape[:2], np.uint8)
+        cv2.fillPoly(mask, [np.round(local).astype(np.int32)], 1)
         row = nucleus_features(crop, mask, offset=(x1, y1))
         if row is None:
             continue
