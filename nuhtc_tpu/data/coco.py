@@ -220,14 +220,16 @@ def build_dataset(cfg: dict, default_args: dict | None = None):
     if typ == "CASDataset":
         from nuhtc_tpu.data.loader import CASDataset
 
-        inner = build_dataset(cfg.pop("dataset"))
+        inner = build_dataset(cfg.pop("dataset"), default_args)
         return CASDataset(inner, **cfg)
     if typ == "SemiDataset":
         from nuhtc_tpu.data.loader import SemiDataset
 
-        sup = build_dataset(cfg.pop("sup"))
-        unsup = build_dataset(cfg.pop("unsup")) if "unsup" in cfg else None
+        sup = build_dataset(cfg.pop("sup"), default_args)
+        unsup = build_dataset(cfg.pop("unsup"), default_args) if "unsup" in cfg else None
         return SemiDataset(sup, unsup, **cfg)
     cls = DATASETS.get(typ)
-    cfg.update(default_args or {})
+    # mmdet semantics: default_args FILL GAPS, never override explicit cfg
+    for k, v in (default_args or {}).items():
+        cfg.setdefault(k, v)
     return cls(**cfg)

@@ -177,7 +177,7 @@ class SemiPrefetchLoader:
         num_threads: int = 2,
         prefetch: int = 4,
     ):
-        from nuhtc_tpu.data.pipelines import PhotoMetricDistortion
+        from nuhtc_tpu.data.pipelines import Normalize, PhotoMetricDistortion
 
         self.sup = semi_dataset.sup
         self.unsup = semi_dataset.unsup or semi_dataset.sup
@@ -185,8 +185,19 @@ class SemiPrefetchLoader:
         self.strong = (
             strong_pipeline if strong_pipeline is not None else [PhotoMetricDistortion()]
         )
+        # the unsup views bypass the sup pipeline (no GT to transform) but
+        # MUST match its normalization — the teacher/student forwards expect
+        # the same input distribution as the supervised branch
+        self._norm = next(
+            (t for t in (pipeline or []) if isinstance(t, Normalize)), Normalize()
+        )
         self.batch_size = max(int(round(batch_size * sup_ratio)), 1)  # sup part
-        self.n_unsup = max(batch_size - self.batch_size, 1)
+        self.n_unsup = batch_size - self.batch_size
+        if self.n_unsup <= 0:
+            raise ValueError(
+                f"SemiPrefetchLoader needs sup_ratio < 1 to leave room for "
+                f"unsup samples (batch_size={batch_size}, sup_ratio={sup_ratio})"
+            )
         self.max_gt = max_gt
         self.seed = seed
         self.num_threads = num_threads
@@ -214,10 +225,13 @@ class SemiPrefetchLoader:
                 img = img[y0 : y0 + hs, x0 : x0 + ws]
             else:
                 img = cv2.resize(img, (ws, hs), interpolation=cv2.INTER_LINEAR)
-        weak = img
-        res = dict(img=weak.copy(), gt_bboxes=np.zeros((0, 4), np.float32),
+        # photometric strong augs operate on raw 0-255 pixels; BOTH views
+        # then normalize exactly like the supervised pipeline does
+        res = dict(img=img.copy(), gt_bboxes=np.zeros((0, 4), np.float32),
                    gt_labels=np.zeros((0,), np.int64))
-        strong = run_pipeline(self.strong, res, rng)["img"]
+        strong_raw = run_pipeline(self.strong, res, rng)["img"]
+        weak = self._norm({"img": img})["img"]
+        strong = self._norm({"img": strong_raw})["img"]
         return weak, strong
 
     def _worker(self):

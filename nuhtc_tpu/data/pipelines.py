@@ -70,12 +70,21 @@ class PhotoMetricDistortion:
         mode = rng.randint(2)
         if mode == 1 and rng.randint(2):
             img *= rng.uniform(self.cl, self.cu)
-        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
-        if rng.randint(2):
-            hsv[..., 1] *= rng.uniform(self.sl, self.su)
-        if rng.randint(2):
-            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-self.hd, self.hd)) % 180
-        img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+        # draw the saturation/hue coin flips first and only round-trip
+        # through uint8 HSV when one actually fires (mmdet converts lazily;
+        # an unconditional round-trip would quantize the float brightness/
+        # contrast results on every sample)
+        do_sat = rng.randint(2)
+        sat = rng.uniform(self.sl, self.su) if do_sat else 1.0
+        do_hue = rng.randint(2)
+        hue = rng.uniform(-self.hd, self.hd) if do_hue else 0.0
+        if do_sat or do_hue:
+            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
+            if do_sat:
+                hsv[..., 1] *= sat
+            if do_hue:
+                hsv[..., 0] = (hsv[..., 0] + hue) % 180
+            img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
         if mode == 0 and rng.randint(2):
             img *= rng.uniform(self.cl, self.cu)
         results["img"] = np.clip(img, 0, 255)
@@ -88,14 +97,17 @@ class Resize:
         self.img_scale = img_scale
         self.keep_ratio = keep_ratio
 
-    def __call__(self, results, rng=None):
+    def __call__(self, results, rng=None, img_scale=None):
+        # per-call override (Resize_Scale) — pipeline instances are shared by
+        # all loader worker threads, so per-sample state must not live on self
+        img_scale = img_scale if img_scale is not None else self.img_scale
         img = results["img"]
         h, w = img.shape[:2]
         if self.keep_ratio:
-            scale = min(self.img_scale[0] / h, self.img_scale[1] / w)
+            scale = min(img_scale[0] / h, img_scale[1] / w)
             nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
         else:
-            nh, nw = self.img_scale
+            nh, nw = img_scale
         sy, sx = nh / h, nw / w
         results["img"] = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
         results["scale_factor"] = np.array([sx, sy, sx, sy], np.float32)
@@ -205,13 +217,18 @@ class RandShear:
 
 @PIPELINES.register()
 class RecomputeBox:
-    """Recompute gt boxes from warped masks; drop empty instances
-    (reference rand_aug.py:867)."""
+    """Recompute gt boxes from warped masks; drop instances whose masks
+    emptied (reference rand_aug.py:867). Every per-instance array
+    (labels, ismask, ...) is filtered with the same keep set — a stale
+    full-length ``ismask`` would misalign partial-supervision flags after a
+    drop. Box-only trailing instances (fewer masks than boxes — the NuCLS
+    partial state collate_train supports) keep their boxes untouched."""
 
     def __call__(self, results, rng=None):
         masks = results.get("gt_masks")
         if masks is None or len(masks) == 0:
             return results
+        n_masked = len(masks)
         keep, boxes = [], []
         for i, m in enumerate(masks):
             ys, xs = np.nonzero(m)
@@ -220,9 +237,17 @@ class RecomputeBox:
             keep.append(i)
             boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
         keep = np.asarray(keep, np.int64)
+        n_orig = len(results["gt_bboxes"])
+        tail = np.arange(n_masked, n_orig, dtype=np.int64)
+        keep_all = np.concatenate([keep, tail])
         results["gt_masks"] = masks[keep] if len(keep) else masks[:0]
-        results["gt_bboxes"] = np.asarray(boxes, np.float32).reshape(-1, 4)
-        results["gt_labels"] = results["gt_labels"][keep]
+        new_boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        results["gt_bboxes"] = np.concatenate(
+            [new_boxes, results["gt_bboxes"][tail]], axis=0
+        ).astype(np.float32)
+        results["gt_labels"] = results["gt_labels"][keep_all]
+        if "ismask" in results and len(results["ismask"]) == n_orig:
+            results["ismask"] = np.asarray(results["ismask"])[keep_all]
         return results
 
 
@@ -378,10 +403,16 @@ class RandCorrupt:
     ``imagecorruptions`` package, absent here — CORRUPTIONS above implements
     13 of its 15 corruption types with cv2/numpy)."""
 
-    def __init__(self, prob=0.5, severity=(1, 3), corruptions=None):
+    def __init__(self, prob=0.5, severity=1, corruption=None, corruptions=None):
+        """Reference signature (rand_aug.py:995): ``corruption`` is None
+        (all types), a name, or a list; ``severity`` a fixed int (default 1).
+        A (lo, hi) severity tuple additionally samples a range."""
         self.prob = prob
-        self.severity = severity
-        self.names = list(corruptions or CORRUPTIONS)
+        self.severity = (severity, severity) if isinstance(severity, int) else tuple(severity)
+        names = corruption if corruption is not None else corruptions
+        if isinstance(names, str):
+            names = [names]
+        self.names = [n for n in (names or CORRUPTIONS) if n in CORRUPTIONS]
 
     def __call__(self, results, rng: np.random.RandomState):
         if rng.rand() >= self.prob:
@@ -598,10 +629,15 @@ class RandSharpness:
 
 @PIPELINES.register()
 class RandErase:
-    """Random rectangular cutout patches (reference rand_aug.py RandErase)."""
+    """Random rectangular cutout patches (reference rand_aug.py RandErase
+    :770-863): the patch is erased from the image (fill 128), from every
+    gt mask (fill 0), and from the semantic seg (fill 0) — GT must not
+    supervise nuclei inside featureless cutouts."""
 
-    def __init__(self, prob=0.7, n_iterations=(1, 5), size=(0.0, 0.2), squared=True):
+    def __init__(self, prob=0.7, n_iterations=(1, 5), size=(0.0, 0.2),
+                 squared=True, img_fill_val=128):
         self.prob, self.n_iterations, self.size, self.squared = prob, n_iterations, size, squared
+        self.img_fill_val = img_fill_val
 
     def __call__(self, results, rng):
         if rng.rand() >= self.prob:
@@ -614,7 +650,13 @@ class RandErase:
             sh = sw if self.squared else rng.uniform(*self.size)
             ph, pw = max(int(h * sh), 1), max(int(w * sw), 1)
             y0, x0 = rng.randint(0, max(h - ph, 1)), rng.randint(0, max(w - pw, 1))
-            img[y0 : y0 + ph, x0 : x0 + pw] = 125
+            img[y0 : y0 + ph, x0 : x0 + pw] = self.img_fill_val
+            masks = results.get("gt_masks")
+            if masks is not None and len(masks):
+                masks[:, y0 : y0 + ph, x0 : x0 + pw] = 0
+            seg = results.get("gt_semantic_seg")
+            if seg is not None:
+                seg[y0 : y0 + ph, x0 : x0 + pw] = 0
         results["img"] = img
         return results
 
@@ -625,12 +667,13 @@ class Resize_Scale(Resize):
 
     def __init__(self, scale_factor=2.0):
         self.scale_factor = scale_factor
+        self.img_scale = None
         self.keep_ratio = True
 
     def __call__(self, results, rng=None):
         h, w = results["img"].shape[:2]
-        self.img_scale = (int(h * self.scale_factor + 0.5), int(w * self.scale_factor + 0.5))
-        return super().__call__(results, rng)
+        target = (int(h * self.scale_factor + 0.5), int(w * self.scale_factor + 0.5))
+        return super().__call__(results, rng, img_scale=target)
 
 
 @PIPELINES.register()
@@ -656,9 +699,15 @@ class CusRandomCrop:
         results["img"] = crop(img)
         if results.get("gt_semantic_seg") is not None:
             results["gt_semantic_seg"] = crop(results["gt_semantic_seg"])
+        # boxes shift into the crop frame whether or not masks exist
+        # (box-only partial-supervision samples must not keep stale coords)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"] - [x0, y0, x0, y0]
+            results["gt_bboxes"] = np.clip(
+                b, 0, [cw, ch, cw, ch]
+            ).astype(np.float32)
         if "gt_masks" in results and len(results["gt_masks"]):
             results["gt_masks"] = np.stack([crop(m) for m in results["gt_masks"]])
-            results["gt_bboxes"] = results["gt_bboxes"] - [x0, y0, x0, y0]
             return RecomputeBox()(results, rng)
         return results
 
@@ -679,9 +728,15 @@ class FOVCrop(CusRandomCrop):
         results["img"] = crop(img)
         if results.get("gt_semantic_seg") is not None:
             results["gt_semantic_seg"] = crop(results["gt_semantic_seg"])
+        # boxes shift into the crop frame whether or not masks exist
+        # (box-only partial-supervision samples must not keep stale coords)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"] - [x0, y0, x0, y0]
+            results["gt_bboxes"] = np.clip(
+                b, 0, [cw, ch, cw, ch]
+            ).astype(np.float32)
         if "gt_masks" in results and len(results["gt_masks"]):
             results["gt_masks"] = np.stack([crop(m) for m in results["gt_masks"]])
-            results["gt_bboxes"] = results["gt_bboxes"] - [x0, y0, x0, y0]
             return RecomputeBox()(results, rng)
         return results
 
