@@ -39,23 +39,24 @@ def instance_balanced_sample(
     rp = jax.random.uniform(kp, (n,))
     rn = jax.random.uniform(kn, (n,))
 
-    # rank positives within their gt group, then interleave groups:
-    # priority = within_gt_rank * num_gts + gt_idx (small rank first → balanced)
-    def rank_within(mask, group, r):
-        # per-group rank via sorting (group, random) pairs
-        keys = jnp.where(mask, group.astype(jnp.float32) * 10.0 + r, jnp.inf)
-        order = jnp.argsort(keys)
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-        # rank within group = global sorted rank minus count of earlier groups
-        # approximate with cumulative counts
-        return rank
-
-    grp = jnp.clip(assign.gt_inds - 1, 0, max(num_gts - 1, 0))
-    sorted_rank = rank_within(pos_mask, grp, rp)
-    # interleave: priority favors low within-group order; use sorted_rank % num_gts trick
-    within = sorted_rank  # upper bound; balanced enough with random tie-break
-    prio_pos = jnp.where(pos_mask, (within // jnp.maximum(num_gts, 1)).astype(jnp.float32)
-                         + rp * 0.5, 1e9)
+    # rank positives WITHIN their gt group (global group-major sorted rank
+    # minus the group's start offset), then interleave groups round-robin:
+    # priority = within_gt_rank * num_gts + gt_idx — every gt contributes its
+    # first candidate before any gt contributes its second
+    g_eff = max(num_gts, 1)
+    grp = jnp.clip(assign.gt_inds - 1, 0, g_eff - 1)
+    keys = jnp.where(pos_mask, grp.astype(jnp.float32) * 10.0 + rp, jnp.inf)
+    order = jnp.argsort(keys)
+    sorted_rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    counts = jnp.sum(
+        jnp.where(pos_mask[:, None], jax.nn.one_hot(grp, g_eff, dtype=jnp.int32), 0),
+        axis=0,
+    )  # (G,) positives per gt
+    offsets = jnp.cumsum(counts) - counts  # group start in the sorted order
+    within = sorted_rank - offsets[grp]
+    prio_pos = jnp.where(
+        pos_mask, (within * g_eff + grp).astype(jnp.float32), 1e9
+    )
     rank_pos = jnp.zeros((n,), jnp.int32).at[jnp.argsort(prio_pos)].set(
         jnp.arange(n, dtype=jnp.int32)
     )

@@ -68,6 +68,13 @@ def max_iou_assign(
         assigned = jnp.where(best_g > 0, best_g, assigned)
 
     assigned = jnp.where(boxes_valid, assigned, -1)
+    # mmdet MaxIoUAssigner special-cases num_gts == 0 as ALL-BACKGROUND
+    # (assign_result with gt_inds=0): without this, the masked iou is -1
+    # everywhere and every proposal stays at ignore, so empty tiles (and
+    # semi-sup images whose teacher produced no pseudo boxes) would
+    # contribute zero negatives to training.
+    no_gt = ~jnp.any(gt_valid)
+    assigned = jnp.where(no_gt & boxes_valid, 0, assigned)
     labels = jnp.where(
         assigned > 0, gt_labels[jnp.clip(assigned - 1, 0, g - 1)], -1
     ).astype(jnp.int32)

@@ -80,8 +80,11 @@ def decay_mask(params) -> Any:
 
 
 def frozen_mask(params, prefixes=("params/backbone/patch_embed", "params/backbone/patch_norm",
-                                  "params/backbone/stage0_", "params/backbone/out_norm0")) -> Any:
-    """True = frozen until the finetune iteration (Swin frozen_stages=1)."""
+                                  "params/backbone/stage0_", "params/backbone/out_norm0",
+                                  "params/backbone/downsample0")) -> Any:
+    """True = frozen until the finetune iteration (Swin frozen_stages=1 —
+    mmdet _freeze_stages freezes stages[0] INCLUDING its PatchMerging
+    downsample)."""
     flat = traverse_util.flatten_dict(params)
     out = {}
     for k in flat:
@@ -98,9 +101,9 @@ def create_optimizer(schedule, weight_decay: float = 0.05):
 
 
 def create_train_state(model, params, num_stages: int = 3, num_classes: int = 5,
-                       schedule=None) -> Tuple[TrainState, Any]:
+                       schedule=None, tx=None) -> Tuple[TrainState, Any]:
     schedule = schedule or lr_schedule()
-    tx = create_optimizer(schedule)
+    tx = tx if tx is not None else create_optimizer(schedule)
     opt_state = tx.init(params)
     return (
         TrainState(
@@ -142,12 +145,18 @@ def make_train_step(model, tx, ema_momentum: float = 2e-4, finetune_iter: int = 
             state.params, batch, rng, state.cum_samples, state.step
         )
         fmask = frozen_mask(state.params)
+        frozen_now = lambda f: (state.step < finetune_iter) & f  # noqa: E731
         grads = jax.tree.map(
-            lambda g, f: jnp.where((state.step < finetune_iter) & f, 0.0, g),
-            grads,
-            fmask,
+            lambda g, f: jnp.where(frozen_now(f), 0.0, g), grads, fmask
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # zeroing grads is not enough: AdamW's DECOUPLED weight decay adds
+        # -lr*wd*param to the update regardless of the gradient, so frozen
+        # params would still shrink ~exp(-lr*wd*steps) over the freeze window
+        # (reference requires_grad=False params receive no update at all)
+        updates = jax.tree.map(
+            lambda u, f: jnp.where(frozen_now(f), 0.0, u), updates, fmask
+        )
         params = optax.apply_updates(state.params, updates)
         m = ema_momentum
         ema = jax.tree.map(lambda e, p: (1 - m) * e + m * p, state.ema_params, params)
@@ -192,6 +201,7 @@ def make_semi_train_step(
     unsup_weight: float = 1.0,
     burn_in: int = 0,
     finetune_iter: int = 15000,
+    weighter=None,
 ):
     """Semi-supervised train step over a MultiStreamDetector wrapper.
 
@@ -207,7 +217,7 @@ def make_semi_train_step(
     MultiBranch unsup_teacher/unsup_student split, base.py:180-186).
     """
 
-    def loss_fn(student_params, teacher_params, batch, rng, cum_samples, uw):
+    def loss_fn(student_params, teacher_params, batch, rng, cum_samples, uw, step):
         losses, new_cum = wrapper.semi_loss(
             student_params,
             teacher_params,
@@ -218,21 +228,28 @@ def make_semi_train_step(
             rngs={"sampling": rng, "dropout": jax.random.fold_in(rng, 1)},
             unsup_img_teacher=batch.get("unsup_img_teacher"),
         )
+        if weighter is not None:  # reference Weighter hook, semi runs included
+            losses = weighter(losses, step)
         return losses["total"], (losses, new_cum)
 
     def train_step(state: SemiTrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
         uw = jnp.where(state.step < burn_in, 0.0, unsup_weight)
         (total, (losses, new_cum)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.student_params, state.teacher_params, batch, rng, state.cum_samples, uw
+            state.student_params, state.teacher_params, batch, rng,
+            state.cum_samples, uw, state.step,
         )
         fmask = frozen_mask(state.student_params)
+        frozen_now = lambda f: (state.step < finetune_iter) & f  # noqa: E731
         grads = jax.tree.map(
-            lambda g, f: jnp.where((state.step < finetune_iter) & f, 0.0, g),
-            grads,
-            fmask,
+            lambda g, f: jnp.where(frozen_now(f), 0.0, g), grads, fmask
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.student_params)
+        # decoupled weight decay must not touch frozen params (see
+        # make_train_step)
+        updates = jax.tree.map(
+            lambda u, f: jnp.where(frozen_now(f), 0.0, u), updates, fmask
+        )
         student = optax.apply_updates(state.student_params, updates)
         m = jnp.minimum(
             teacher_momentum,

@@ -95,10 +95,15 @@ class Trainer:
         # (config :395-401: LinearMomentumEMAHook momentum, FineTune iter)
         ema_momentum = self.cfg.get("ema", {}).get("momentum")
         finetune_iter = self.cfg.get("finetune_iter")
+        teacher_momentum = None
         for hk in self.cfg.get("custom_hooks") or []:
             t = str(hk.get("type", ""))
             if t == "LinearMomentumEMAHook" and ema_momentum is None:
                 ema_momentum = hk.get("momentum")
+            if t == "MeanTeacher" and teacher_momentum is None:
+                # the MeanTeacher hook carries ITS OWN momentum (reference
+                # mean_teacher.py:8) — do not conflate with the eval-EMA hook
+                teacher_momentum = hk.get("momentum")
             if t == "FineTune" and finetune_iter is None:
                 finetune_iter = hk.get("iter")
         if finetune_iter is None:
@@ -121,18 +126,45 @@ class Trainer:
             )
             train_step = make_semi_train_step(
                 wrapper, tx,
-                teacher_momentum=1.0 - (1e-3 if ema_momentum is None else ema_momentum),
+                teacher_momentum=(
+                    semi_cfg.get("momentum")
+                    or teacher_momentum
+                    or 0.999
+                ),
                 teacher_warmup=semi_cfg.get("warm_up", 100),
                 unsup_weight=semi_cfg.get("unsup_weight", 1.0),
                 burn_in=semi_cfg.get("burn_in", 0),
                 finetune_iter=finetune_iter,
+                weighter=weighter,
             )
         else:
+            # reference NamedOptimizerConstructor paramwise groups (mmcv
+            # custom_keys) route through build_named_optimizer with the SAME
+            # warmup+step schedule; without custom_keys, create_optimizer's
+            # decay_mask already encodes the reference Swin no-decay keys
+            custom_keys = (
+                self.cfg.get("optimizer", {})
+                .get("paramwise_cfg", {})
+                .get("custom_keys")
+            )
+            named_tx = None
+            if custom_keys:
+                from nuhtc_tpu.train.optim_groups import build_named_optimizer
+
+                rules = [
+                    dict(pattern=k, **v) for k, v in dict(custom_keys).items()
+                ]
+                named_tx = build_named_optimizer(
+                    params, base_lr=schedule,
+                    weight_decay=self.cfg.get("optimizer", {}).get("weight_decay", 0.05),
+                    rules=rules,
+                )
             state, tx = create_train_state(
                 model, params,
                 num_stages=getattr(model, "num_stages", 1),  # MaskRCNN has one stage
                 num_classes=model.num_classes,
                 schedule=schedule,
+                tx=named_tx,
             )
             train_step = make_train_step(
                 model, tx,
@@ -143,12 +175,22 @@ class Trainer:
 
         ckpt_dir = os.path.join(os.path.abspath(self.work_dir), "checkpoints")
         start_epoch = 0
-        if resume_from or (os.path.isdir(ckpt_dir) and ckpt.latest_step(ckpt_dir) is not None):
-            step = ckpt.latest_step(resume_from or ckpt_dir)
-            if step is not None:
-                state = ckpt.load_checkpoint(resume_from or ckpt_dir, state, step)
-                start_epoch = int(step)
-                self.logger.info(f"auto-resumed from epoch {start_epoch}")
+        if resume_from:
+            step = ckpt.latest_step(resume_from)
+            if step is None:
+                # an EXPLICIT resume path with nothing loadable is an error —
+                # silently restarting from scratch could overwrite a run
+                raise FileNotFoundError(
+                    f"--resume-from {resume_from!r}: no loadable checkpoint found"
+                )
+            state = ckpt.load_checkpoint(resume_from, state, step)
+            start_epoch = int(step)
+            self.logger.info(f"resumed from epoch {start_epoch}")
+        elif os.path.isdir(ckpt_dir) and ckpt.latest_step(ckpt_dir) is not None:
+            step = ckpt.latest_step(ckpt_dir)
+            state = ckpt.load_checkpoint(ckpt_dir, state, step)
+            start_epoch = int(step)
+            self.logger.info(f"auto-resumed from epoch {start_epoch}")
 
         state = replicate(state, mesh)
         rng = replicate(jax.random.PRNGKey(self.seed + 1), mesh)
@@ -286,13 +328,8 @@ class Trainer:
         for s in range(0, n, engine.batch_size):
             imgs = [dataset.load_image(i) for i in range(s, min(s + engine.batch_size, n))]
             for res in engine.run_batch(imgs):
-                bboxes, segms = [], []
-                for c in range(engine.num_classes):
-                    sel = res["labels"] == c
-                    bboxes.append(
-                        np.concatenate([res["boxes"][sel], res["scores"][sel][:, None]], 1)
-                    )
-                    segms.append([rle_ops.encode(m) for m in res["masks"][sel]])
+                bboxes, segms = engine.to_reference_format(res)
+                segms = [[rle_ops.encode(m) for m in cls_masks] for cls_masks in segms]
                 results.append((bboxes, segms))
 
         class _Sliced:

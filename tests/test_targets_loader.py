@@ -198,3 +198,43 @@ def test_cfg_options_coerce_types():
     assert _coerce_option("[1, 2]") == [1, 2]
     assert _coerce_option("abc") == "abc"
     assert _coerce_option(7) == 7
+
+
+def test_max_iou_assign_no_valid_gt_all_background():
+    """mmdet MaxIoUAssigner num_gts==0 special case: every valid proposal is
+    background (0), not ignore (-1) — empty tiles must contribute negatives."""
+    import jax.numpy as jnp
+    from nuhtc_tpu.train.targets import max_iou_assign
+
+    boxes = jnp.asarray([[0, 0, 10, 10], [5, 5, 20, 20]], jnp.float32)
+    gt = jnp.zeros((3, 4), jnp.float32)
+    res = max_iou_assign(
+        boxes, jnp.ones(2, bool), gt, jnp.zeros(3, bool),
+        jnp.zeros(3, jnp.int32), pos_thr=0.5, neg_thr=0.3,
+    )
+    assert (np.asarray(res.gt_inds) == 0).all()
+
+
+def test_instance_balanced_round_robin():
+    """With more positives on gt-0 than gt-1, the first sampled positives must
+    interleave the two gts (reference InstanceBalancedPosSampler_Cus), not
+    exhaust gt-0 first."""
+    import jax
+    import jax.numpy as jnp
+    from nuhtc_tpu.train.targets import AssignResult
+    from nuhtc_tpu.train.samplers import instance_balanced_sample
+
+    # 10 positives for gt 1 (inds=1), 2 for gt 2 (inds=2), plus negatives
+    gt_inds = jnp.asarray([1] * 10 + [2] * 2 + [0] * 20, jnp.int32)
+    assign = AssignResult(
+        gt_inds=gt_inds,
+        max_iou=jnp.ones_like(gt_inds, jnp.float32),
+        labels=jnp.where(gt_inds > 0, gt_inds - 1, -1).astype(jnp.int32),
+    )
+    samp = instance_balanced_sample(
+        jax.random.PRNGKey(0), assign, num=16, pos_fraction=0.25,
+        num_classes=5, num_gts=2,
+    )
+    pos_gts = np.asarray(samp.gt_inds)[np.asarray(samp.is_pos)]
+    # 4 positive slots: round-robin gives both gts representation (2/2)
+    assert (pos_gts == 1).sum() >= 1 and (pos_gts == 0).sum() >= 1, pos_gts
