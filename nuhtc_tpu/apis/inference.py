@@ -28,7 +28,7 @@ class InferenceEngine:
         params,
         batch_size: int = 8,
         tile_size: int = 256,
-        scale_factor: float = 2.0,
+        scale_factor: Optional[float] = None,
         paste_masks: bool = True,
         device_preprocess: bool = False,
         compact_masks: bool = False,
@@ -54,7 +54,13 @@ class InferenceEngine:
         self.params = params
         self.batch_size = batch_size
         self.tile_size = tile_size
-        self.scale_factor = scale_factor
+        # derive from the model unless overridden — a mismatch would return
+        # boxes in the wrong frame (model divides by ITS scale_factor)
+        self.scale_factor = (
+            scale_factor if scale_factor is not None
+            else float(getattr(model, "scale_factor", 2.0))
+        )
+        scale_factor = self.scale_factor
         self.num_classes = model.num_classes
         self.device_preprocess = device_preprocess
         self.compact_masks = compact_masks
@@ -64,18 +70,26 @@ class InferenceEngine:
         mean = jnp.asarray(IMG_NORM["mean"], jnp.float32)
         std = jnp.asarray(IMG_NORM["std"], jnp.float32)
 
-        def _prep(x_u8):
+        def _prep(x_u8, hs, ws):
             x = x_u8.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, 3, t, t)
             x = resize_half_pixel(x, (rs, rs))
             x = x.transpose(0, 2, 3, 1)
             x = (x - mean) / std
+            # zero the pad band AFTER normalization so undersized tiles match
+            # the host path exactly (Normalize then zero-Pad — zero-padding
+            # in uint8 space would leave -mean/std in the band); hs/ws are
+            # each tile's resized true extents
+            iy = jnp.arange(rs)[None, :, None]
+            ix = jnp.arange(rs)[None, None, :]
+            valid = (iy < hs[:, None, None]) & (ix < ws[:, None, None])
+            x = x * valid[..., None]
             if in_size != rs:
                 x = jnp.pad(x, ((0, 0), (0, in_size - rs), (0, in_size - rs), (0, 0)))
             return x
 
-        def _fwd(p, x):
+        def _fwd(p, x, hs, ws):
             if device_preprocess:
-                x = _prep(x)
+                x = _prep(x, hs, ws)
             det = model.apply(p, x)
             if compact_masks:
                 lab = jax.vmap(
@@ -120,12 +134,24 @@ class InferenceEngine:
             out[i, : t.shape[0], : t.shape[1]] = t
         return out
 
-    def preprocess_u8(self, imgs: Sequence[np.ndarray]) -> np.ndarray:
-        """Raw uint8 tiles → padded (B, tile, tile, 3) uint8 (device path)."""
-        out = np.zeros((self.batch_size, self.tile_size, self.tile_size, 3), np.uint8)
+    def preprocess_u8(self, imgs: Sequence[np.ndarray]):
+        """Raw uint8 tiles → (padded (B, tile, tile, 3) uint8, resized
+        per-tile extents (B,) i32 ×2) for the device path. Undersized tiles
+        edge-replicate (so the device resize does not bleed zeros into real
+        pixels); the pad band is zeroed post-normalization in _prep."""
+        t = self.tile_size
+        out = np.zeros((self.batch_size, t, t, 3), np.uint8)
+        hs = np.full((self.batch_size,), self.resized_size, np.int32)
+        ws = np.full((self.batch_size,), self.resized_size, np.int32)
         for i, im in enumerate(imgs):
-            out[i, : im.shape[0], : im.shape[1]] = im[: self.tile_size, : self.tile_size]
-        return out
+            im = im[:t, :t]
+            h, w = im.shape[:2]
+            if (h, w) != (t, t):
+                im = np.pad(im, ((0, t - h), (0, t - w), (0, 0)), mode="edge")
+                hs[i] = int(round(h * self.scale_factor))
+                ws[i] = int(round(w * self.scale_factor))
+            out[i] = im
+        return out, hs, ws
 
     def dispatch(self, imgs: Sequence[np.ndarray]):
         """Async half of run_batch: upload + enqueue the forward, return
@@ -133,8 +159,12 @@ class InferenceEngine:
         next batch before collecting the previous overlaps host
         post-processing with device compute (the WSI stage-B hot loop)."""
         n = len(imgs)
-        batch = self.preprocess_u8(imgs) if self.device_preprocess else self.preprocess(imgs)
-        det = self._forward(self.params, batch)
+        if self.device_preprocess:
+            batch, hs, ws = self.preprocess_u8(imgs)
+        else:
+            batch = self.preprocess(imgs)
+            hs = ws = np.zeros((self.batch_size,), np.int32)  # unused
+        det = self._forward(self.params, batch, hs, ws)
         pasted = self._paste(det) if self._paste is not None else None
         return det, pasted, n
 
@@ -142,7 +172,12 @@ class InferenceEngine:
         det, pasted, n = handle
         if pasted is not None:
             pasted = np.asarray(pasted)
-        det = {k: np.asarray(v) for k, v in det.items()}
+        # masks come back via the pasted tensor — do not also ship the raw
+        # (B, D, 28, 28) probs over the (~31 MB/s) tunnel
+        det = {
+            k: np.asarray(v) for k, v in det.items()
+            if not (k == "mask_probs" and pasted is not None)
+        }
         return self._split_results(det, pasted, n)
 
     def run_batch(self, imgs: Sequence[np.ndarray]) -> List[Dict[str, np.ndarray]]:
@@ -195,6 +230,7 @@ def init_detector(
     device_preprocess: bool = False,
     compact_masks: bool = False,
     scale_factor: Optional[float] = None,
+    tile_size: int = 256,
 ) -> InferenceEngine:
     """``scale_factor`` overrides the config's test rescale (WSI mode uses
     80/mag, reference tools/infer_wsi.py:416-419) — it must be baked into the
@@ -208,7 +244,7 @@ def init_detector(
         scale_factor = float(cfg.get("scale_factor", 2.0))
     model = build_detector(cfg.model, cfg.model.get("test_cfg"), scale_factor, dtype=dtype)
 
-    img_size = ((int(256 * scale_factor + 0.5) + 31) // 32) * 32
+    img_size = ((int(tile_size * scale_factor + 0.5) + 31) // 32) * 32
     img = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), img, method="init_forward")
 
@@ -223,14 +259,28 @@ def init_detector(
             from nuhtc_tpu.utils.checkpoint import load_checkpoint
 
             state = load_checkpoint(checkpoint, None)
-            if isinstance(state, dict) and "ema_params" in state and use_ema:
-                params = state["ema_params"]
-            elif isinstance(state, dict) and "params" in state:
-                params = state["params"]
+            if isinstance(state, dict):
+                # supervised TrainState: ema_params/params; semi
+                # SemiTrainState: teacher_params/student_params (the
+                # reference evaluates the teacher — submodules_evaluation.py)
+                for key in (
+                    (("ema_params", "teacher_params", "params", "student_params")
+                     if use_ema else
+                     ("params", "student_params", "ema_params", "teacher_params"))
+                ):
+                    if state.get(key) is not None:
+                        params = state[key]
+                        break
+                else:
+                    raise ValueError(
+                        f"checkpoint {checkpoint!r} has no parameter tree "
+                        f"(keys: {sorted(state)})"
+                    )
             else:
                 params = state
     return InferenceEngine(
-        model, params, batch_size=batch_size, scale_factor=scale_factor,
+        model, params, batch_size=batch_size, tile_size=tile_size,
+        scale_factor=scale_factor,
         device_preprocess=device_preprocess, compact_masks=compact_masks,
     )
 
@@ -257,14 +307,19 @@ class TTAEngine:
             return res
         boxes = res["boxes"].copy()
         masks = res.get("masks")
+        # masks are pasted in the tile frame; flip ONLY the image extent
+        # (cols [0:w] / rows [0:h]) so they stay aligned with the unflipped
+        # boxes when the image is smaller than the tile
         if d == "horizontal":
             boxes[:, [0, 2]] = w - res["boxes"][:, [2, 0]]
             if masks is not None:
-                masks = masks[:, :, ::-1]
+                masks = masks.copy()
+                masks[:, :, :w] = masks[:, :, :w][:, :, ::-1]
         else:
             boxes[:, [1, 3]] = h - res["boxes"][:, [3, 1]]
             if masks is not None:
-                masks = masks[:, ::-1, :]
+                masks = masks.copy()
+                masks[:, :h, :] = masks[:, :h, :][:, ::-1, :]
         out = dict(res)
         out["boxes"] = boxes
         if masks is not None:
@@ -284,9 +339,10 @@ class TTAEngine:
             )
         merged = []
         for i in range(len(imgs)):
-            keys = ("boxes", "scores", "labels", "probs", "masks")
+            keys = [k for k in ("boxes", "scores", "labels", "probs", "masks")
+                    if k in per_flip[0][i]]
             cat = {k: np.concatenate([pf[i][k] for pf in per_flip]) for k in keys}
-            if len(cat["scores"]):
+            if len(cat["scores"]) and "masks" in cat:
                 rles = [rle_ops.encode(m) for m in cat["masks"]]
                 _, keep = mask_nms(rles, cat["scores"], thr=0.5)
                 cat = {k: v[keep] for k, v in cat.items()}

@@ -134,6 +134,7 @@ def main():
     engine = init_detector(
         cfg, args.checkpoint, batch_size=args.batch_size, scale_factor=scale_factor,
         device_preprocess=on_device, compact_masks=on_device,
+        tile_size=args.patch_size,
     )
 
     for slide_name in slides:
