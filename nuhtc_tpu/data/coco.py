@@ -74,6 +74,12 @@ class WSICocoDataset:
     CLASSES = ()
     PALETTE = None
 
+    @property
+    def dataset_name(self) -> str:
+        """The real dataset class name — limit/slice wrappers delegate
+        attribute access here, so save paths stay stable under wrapping."""
+        return type(self).__name__
+
     def __init__(
         self,
         ann_file: str,

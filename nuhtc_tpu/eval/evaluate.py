@@ -113,7 +113,10 @@ def evaluate_dataset(
     pred_array = []
 
     if save:
-        save_path = f"{save_path}/{dataset.__class__.__name__}"
+        # _Sliced/limit wrappers delegate attributes to the real dataset —
+        # use the delegated name so artifact dirs match the reference layout
+        ds_name = getattr(dataset, "dataset_name", None) or dataset.__class__.__name__
+        save_path = f"{save_path}/{ds_name}"
         os.makedirs(save_path, exist_ok=True)
 
     assert len(dataset) == len(results)
@@ -170,8 +173,8 @@ def evaluate_dataset(
 
         if save or overlay:
             info = dataset.img_info(idx)
-            pm = convert_format(rles, labels, info["height"], info["width"], num_classes, data_format)
             if save:
+                pm = convert_format(rles, labels, info["height"], info["width"], num_classes, data_format)
                 base = os.path.splitext(info["file_name"])[0]
                 if data_format == "consep":
                     from scipy import io as sio

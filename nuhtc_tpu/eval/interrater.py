@@ -172,6 +172,8 @@ def krippendorff_alpha(
     dropped. Returns alpha in [-1, 1] (1 = perfect agreement).
     """
     rows = [list(r) for r in reliability_data]
+    if not rows or not any(rows):
+        return np.nan  # no data → the same insufficient-data contract as below
     n_units = max(len(r) for r in rows)
 
     def is_missing(v):
@@ -202,6 +204,10 @@ def krippendorff_alpha(
     for r in rows:
         for u, v in enumerate(r):
             if u < n_units and not is_missing(v):
+                if v not in vidx:
+                    raise ValueError(
+                        f"observed value {v!r} outside value_domain {domain!r}"
+                    )
                 counts[u, vidx[v]] += 1
 
     m_u = counts.sum(axis=1)  # raters per unit
@@ -238,14 +244,20 @@ def krippendorff_alpha(
 # Constrained agglomerative clustering
 # --------------------------------------------------------------------------- #
 class ConstrainedAgglomerativeClustering:
-    """Average-linkage agglomeration with a don't-link constraint: no cluster
-    may contain two points from the same rater (reference
-    constrained_agglomerative_clustering.py:7-291, used to group multi-rater
-    nucleus anchor clicks into consensus nuclei).
+    """COMPLETE-linkage agglomeration with a don't-link constraint: no
+    cluster may contain two points from the same rater (reference
+    constrained_agglomerative_clustering.py:7-291 — its default linkage is
+    'complete'; the reference enforces the constraint by post-hoc eviction
+    on the dendrogram, we enforce it at merge time, a documented deviation
+    that keeps the same invariant).
 
     ``points``: (N, D) coordinates. ``raters``: (N,) rater id per point.
     ``linkage_thresh``: stop merging when the closest admissible pair of
     clusters is farther than this.
+
+    The pairwise cluster-distance matrix is maintained incrementally with
+    the Lance-Williams complete-linkage update (max of the merged rows) —
+    O(N² ) per merge instead of recomputing all mean-pairwise distances.
     """
 
     def __init__(self, points: np.ndarray, raters: Sequence, linkage_thresh: float):
@@ -255,31 +267,41 @@ class ConstrainedAgglomerativeClustering:
 
     def run(self) -> List[List[int]]:
         n = len(self.points)
+        if n == 0:
+            return []
         clusters: List[List[int]] = [[i] for i in range(n)]
         rsets = [{self.raters[i]} for i in range(n)]
+        d = np.linalg.norm(
+            self.points[:, None, :] - self.points[None, :, :], axis=-1
+        )
+        np.fill_diagonal(d, np.inf)
+        blocked = np.array(
+            [[bool(rsets[i] & rsets[j]) for j in range(n)] for i in range(n)]
+        )
+        np.fill_diagonal(blocked, True)
+        alive = np.ones(n, bool)
 
-        def dist(a: List[int], b: List[int]) -> float:
-            pa, pb = self.points[a], self.points[b]
-            return float(
-                np.mean(np.linalg.norm(pa[:, None, :] - pb[None, :, :], axis=-1))
-            )
-
-        while len(clusters) > 1:
-            best = (np.inf, -1, -1)
-            for i in range(len(clusters)):
-                for j in range(i + 1, len(clusters)):
-                    if rsets[i] & rsets[j]:
-                        continue  # constraint: shared rater
-                    d = dist(clusters[i], clusters[j])
-                    if d < best[0]:
-                        best = (d, i, j)
-            d, i, j = best
-            if i < 0 or d > self.thresh:
+        while alive.sum() > 1:
+            dm = np.where(blocked, np.inf, d)
+            flat = np.argmin(dm)
+            i, j = np.unravel_index(flat, dm.shape)
+            if not np.isfinite(dm[i, j]) or dm[i, j] > self.thresh:
                 break
-            clusters[i] = clusters[i] + clusters[j]
-            rsets[i] = rsets[i] | rsets[j]
-            del clusters[j], rsets[j]
-        return clusters
+            # merge j into i: complete linkage → max of the two rows
+            clusters[i] += clusters[j]
+            rsets[i] |= rsets[j]
+            d[i] = np.maximum(d[i], d[j])
+            d[:, i] = d[i]
+            d[i, i] = np.inf
+            blocked[i] = blocked[i] | blocked[j] | np.array(
+                [not alive[k] or bool(rsets[i] & rsets[k]) for k in range(n)]
+            )
+            blocked[:, i] = blocked[i]
+            blocked[i, i] = True
+            alive[j] = False
+            d[j] = d[:, j] = np.inf
+            blocked[j] = blocked[:, j] = True
+        return [clusters[i] for i in range(n) if alive[i]]
 
     def medoids(self, clusters: List[List[int]]) -> np.ndarray:
         """Mean anchor per cluster (the consensus nucleus location)."""

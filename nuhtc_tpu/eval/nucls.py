@@ -59,7 +59,12 @@ def classification_metrics(
             y_pred.append(int(img["dt_labels"][b]))
             probs.append(img["dt_probs"][b])
     if not y_true:
-        return {"mcc": 0.0}
+        # same key set as the populated path — callers index these directly
+        out = {"mcc": 0.0, "matched": 0, "auroc_macro": float("nan"),
+               "accuracy": float("nan")}
+        for c in range(num_classes):
+            out[f"auroc_class_{c}"] = float("nan")
+        return out
     y_true = np.asarray(y_true)
     y_pred = np.asarray(y_pred)
     probs = np.asarray(probs)

@@ -11,8 +11,10 @@ Notable reference behaviors preserved:
 - AJI pairs each GT with its best-IoU pred WITHOUT deduplicating preds
   (a pred's union may be summed multiple times);
 - PQ with match_iou ≥ 0.5 uses the unique >thr pairing; < 0.5 uses Hungarian;
-- ensemble dice keeps pairs with IoU ≥ 1e-4 and returns 1 when both sets are
-  empty.
+- ensemble dice keeps pairs with IoU ≥ 1e-4 and returns 1 whenever NO pair
+  survives the threshold — including images with non-empty GT and non-empty
+  predictions that simply never overlap (the reference get_fast_dice quirk:
+  ti/pi always have equal length, so the "both empty" wording understates it).
 """
 
 from __future__ import annotations
@@ -152,10 +154,11 @@ def dice2_from_tables(inter, union, t_areas, p_areas, paired=None) -> float:
     if len(ti):
         keep = iou[ti, pi] >= 1e-4
         ti, pi = ti[keep], pi[keep]
-    if len(ti) + len(pi) == 0:
-        return 1.0
     if len(ti) == 0:
-        return 0.0
+        # reference get_fast_dice quirk: no surviving pair → 1.0, even when
+        # GT and predictions are both non-empty but disjoint (ti and pi
+        # always have equal length, so a separate 0.0 branch is unreachable)
+        return 1.0
     overall_inter = inter[ti, pi].sum()
     overall_total = (t_areas[ti] + p_areas[pi]).sum()
     return float(2 * overall_inter / overall_total) if overall_total > 0 else 0.0
