@@ -39,7 +39,6 @@ from nuhtc_tpu.models.roi_extractor import (
     attention_roi_features,
     banded_stage_features,
     single_roi_features,
-    adaptive_avg_pool_grid,
 )
 from nuhtc_tpu.ops import boxes as box_ops
 from nuhtc_tpu.ops import nms as nms_ops
@@ -118,6 +117,10 @@ class NuHTC(nn.Module):
     # HTCSegBranch whose per-class watershed instances form the result
     lite_fuse: bool = False
     fuse_max_instances: int = 256
+    # beyond-reference auxiliary seg-branch objectives (per-instance dist L1
+    # + global multilabel cls, the HTCSegHead recipe) — the reference
+    # _Lite_Fuse trains only loss_binary_seg
+    fuse_aux_losses: bool = False
     # lite=True → single mask head at the final stage only (reference
     # HybridTaskCascadeRoIHead_Lite, htc_roi_head_cus.py:1875). lite=False →
     # the full _Cus variant: a mask head per cascade stage with mask
@@ -190,7 +193,6 @@ class NuHTC(nn.Module):
         feats = self.extract_feats(img)
         self.rpn_head(feats)
         _, semantic_feat = self.semantic_head(feats)
-        dummy_rois = jnp.tile(jnp.asarray([[0.0, 0.0, 16.0, 16.0]]), (2, 1))
         for stage in range(self.num_stages):
             rf = jnp.zeros((2, 7, 7, self.fpn_channels), self.dtype)
             self.bbox_heads[stage](rf)
@@ -528,7 +530,6 @@ class NuHTC(nn.Module):
         from nuhtc_tpu.ops.anchors import grid_anchors
         from nuhtc_tpu.train import targets as T
         from nuhtc_tpu.models import losses as L
-        from nuhtc_tpu.models.rpn_head import rpn_proposals
 
         gt_boxes = batch["gt_boxes"]
         gt_labels = batch["gt_labels"]
@@ -595,18 +596,14 @@ class NuHTC(nn.Module):
             jax.nn.sigmoid(semantic_logits[..., 0]), sem_target
         )
 
-        # ---- _Lite_Fuse seg-branch losses ----------------------------------
-        # Reference forward_train (htc_roi_head_cus.py:390-392) trains the
-        # n-class seg branch with HTCSegHead.loss / loss_partial
-        # (htc_seg_head_cus.py:150-235): per-class seg loss + L1 on the
-        # normalized interior-distance map + multilabel global cls, each at
-        # the reference's 0.2 default weight. loss_partial semantics: pixels
-        # covered by box-only instances (gt_ismask == 0) are excluded from
-        # the seg/dist terms (their masks are unannotated).
+        # ---- _Lite_Fuse seg-branch loss ------------------------------------
+        # Reference _Lite_Fuse.forward_train (htc_roi_head_cus.py:3010-3012)
+        # trains ONLY loss_binary_seg on the n-class seg branch. The dist/cls
+        # auxiliary terms belong to the _Cus HTCSegHead recipe
+        # (htc_seg_head_cus.py:150-235) and are available beyond-reference
+        # via fuse_aux_losses=True. loss_partial semantics: pixels covered by
+        # box-only instances (gt_ismask == 0) are excluded (unannotated).
         if self.lite_fuse:
-            from nuhtc_tpu.models.extra_heads import soft_distance_target
-            from nuhtc_tpu.ops.mask_paste import paste_masks
-
             _, seg_pred, seg_dist, seg_cls = self.seg_branch(img, semantic_feat)
             fac = h // gt_sem.shape[1]
             sem_up = jnp.repeat(jnp.repeat(gt_sem, fac, axis=1), fac, axis=2)
@@ -614,22 +611,9 @@ class NuHTC(nn.Module):
             gt_seg_c = (sem_up[..., None] == cls_ids).astype(jnp.float32)
 
             ismask = batch.get("gt_ismask")
-
-            # PER-INSTANCE normalized interior distance (reference builds
-            # gt_dist instance-by-instance, htc_seg_head_cus.py:165-180 — the
-            # union blob would erase the valley between touching nuclei that
-            # the dist map exists to mark). Annotated instances only.
-            def inst_dist(gtb, gtp, keep):
-                full = paste_masks(gtp, gtb, (h, w), threshold=0.5)
-                full = full.astype(jnp.float32) * keep.astype(jnp.float32)[:, None, None]
-                return jnp.max(jax.vmap(soft_distance_target)(full), axis=0)
-
-            keep = gt_valid if ismask is None else (gt_valid & (ismask > 0.5))
-            gt_dist = jax.lax.stop_gradient(
-                jax.vmap(inst_dist)(gt_boxes, batch["gt_patches"], keep)
-            )
-
             if ismask is not None:
+                from nuhtc_tpu.ops.mask_paste import paste_masks
+
                 def nonmask_union(gtb, gtp, ism, gtv):
                     full = paste_masks(gtp, gtb, (h, w), threshold=-1.0)
                     wgt = ((ism < 0.5) & gtv).astype(jnp.float32)
@@ -643,21 +627,36 @@ class NuHTC(nn.Module):
                 pos_mask = 1.0
 
             seg_ce = L.sigmoid_ce(seg_pred, gt_seg_c) * pos_mask
-            losses["loss_binary_seg"] = 0.2 * (
-                jnp.mean(seg_ce)
-                + jnp.mean(
+            losses["loss_binary_seg"] = 0.2 * jnp.mean(seg_ce)
+
+            if self.fuse_aux_losses:
+                from nuhtc_tpu.models.extra_heads import soft_distance_target
+                from nuhtc_tpu.ops.mask_paste import paste_masks
+
+                # PER-INSTANCE normalized interior distance (HTCSegHead.loss
+                # builds gt_dist instance-by-instance, :165-180 — a union
+                # blob would erase the valley between touching nuclei)
+                def inst_dist(gtb, gtp, keep):
+                    full = paste_masks(gtp, gtb, (h, w), threshold=0.5)
+                    full = full.astype(jnp.float32) * keep.astype(jnp.float32)[:, None, None]
+                    return jnp.max(jax.vmap(soft_distance_target)(full), axis=0)
+
+                keep = gt_valid if ismask is None else (gt_valid & (ismask > 0.5))
+                gt_dist = jax.lax.stop_gradient(
+                    jax.vmap(inst_dist)(gt_boxes, batch["gt_patches"], keep)
+                )
+                losses["loss_dist"] = 0.2 * jnp.mean(
                     jnp.abs(jax.nn.sigmoid(seg_dist)[..., None] - gt_dist[..., None])
                     * pos_mask
                 )
-            )
-            present = jax.vmap(
-                lambda lbl, v: jnp.zeros(self.num_classes).at[
-                    jnp.where(v, lbl, 0)
-                ].max(v.astype(jnp.float32))
-            )(gt_labels, gt_valid)
-            losses["loss_global_cls"] = 0.2 * jnp.mean(
-                L.sigmoid_ce(seg_cls, present)
-            )
+                present = jax.vmap(
+                    lambda lbl, v: jnp.zeros(self.num_classes).at[
+                        jnp.where(v, lbl, 0)
+                    ].max(v.astype(jnp.float32))
+                )(gt_labels, gt_valid)
+                losses["loss_global_cls"] = 0.2 * jnp.mean(
+                    L.sigmoid_ce(seg_cls, present)
+                )
 
         # ---- watershed proposal injection ---------------------------------
         if self.watershed_proposal:

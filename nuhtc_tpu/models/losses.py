@@ -92,6 +92,9 @@ def dice_loss(pred, target, weight=None, eps: float = 1e-3, reduction="mean", av
         # after normalization the weighted mean is a weighted sum
         if reduction == "mean":
             return jnp.sum(loss * weight)
+        # sum/none must also see the (normalized) weight — the reference
+        # applies it for every reduction
+        loss = loss * weight
     return weight_reduce(loss, None, reduction, avg_factor)
 
 

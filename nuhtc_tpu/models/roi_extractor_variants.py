@@ -3,8 +3,8 @@
 - SelectedRoIExtractor (:12): sum of RoIAlign over selected levels;
 - LocalGlobalRoIExtractor (:94): RoIAlign on fine levels + global-average
   broadcast on coarse levels;
-- PosAttentionRoIExtractor (:262): AttentionRoIExtractor with a positional
-  gaussian prior multiplied into the similarity map.
+- PosAttentionRoIExtractor (:262): coarse levels pool an RoI-to-RoI
+  cosine-similarity mix of the (detached) per-RoI center vectors.
 
 Pure functions over per-image NHWC pyramids (like attention_roi_features).
 """
@@ -67,25 +67,37 @@ def pos_attention_pool(
     feat: jnp.ndarray,  # (H, W, C)
     rois: jnp.ndarray,
     stride: int,
-    thres: float,
-    sigma_scale: float = 0.5,
+    valid: Optional[jnp.ndarray] = None,  # (R,) bool — padding rois excluded
 ) -> jnp.ndarray:
-    """Attention pooling with a per-RoI gaussian positional prior centered on
-    the box (reference PosAttentionRoIExtractor)."""
+    """Reference PosAttentionRoIExtractor coarse-level pooling
+    (roi_extractors_cus.py:308-329): take each RoI's (detached) center-cell
+    vector, form the RoI-to-RoI cosine-similarity matrix over UNIQUE center
+    cells normalized by the unique count, and mix the center vectors with it:
+    out_i = (1/U) Σ_unique_b cos(v_i, w_b) · w_b.
+
+    The reference dedupes center cells dynamically (torch.unique); the
+    static-shape equivalent weights every roi j by 1/multiplicity(cell_j),
+    which reproduces the unique-space sums exactly (rois sharing a cell have
+    identical vectors). Returns (R, C)."""
     h, w, c = feat.shape
-    base = attention_pool(feat, rois, stride, thres)  # (R, C) — reuse machinery
-    # positional prior
-    cx = (rois[:, 0] + rois[:, 2]) / (2.0 * stride)
-    cy = (rois[:, 1] + rois[:, 3]) / (2.0 * stride)
-    sx = jnp.maximum((rois[:, 2] - rois[:, 0]) / stride * sigma_scale, 1.0)
-    sy = jnp.maximum((rois[:, 3] - rois[:, 1]) / stride * sigma_scale, 1.0)
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    gy = jnp.exp(-0.5 * ((ys[None, :] - cy[:, None]) / sy[:, None]) ** 2)  # (R, H)
-    gx = jnp.exp(-0.5 * ((xs[None, :] - cx[:, None]) / sx[:, None]) ** 2)  # (R, W)
-    prior = gy[:, :, None] * gx[:, None, :]  # (R, H, W)
-    weighted = jnp.einsum(
-        "rhw,hwc->rc", prior.astype(feat.dtype), feat,
-        preferred_element_type=jnp.float32,
-    ) / (h * w)
-    return (base + weighted).astype(feat.dtype)
+    r = rois.shape[0]
+    cx = jnp.clip(
+        jnp.floor((rois[:, 0] + rois[:, 2]) / (2.0 * stride)), 0, w - 1
+    ).astype(jnp.int32)
+    cy = jnp.clip(
+        jnp.floor((rois[:, 1] + rois[:, 3]) / (2.0 * stride)), 0, h - 1
+    ).astype(jnp.int32)
+    flat = feat.reshape(h * w, c).astype(jnp.float32)
+    v = jax.lax.stop_gradient(flat[cy * w + cx])  # (R, C) center vectors
+
+    ok = jnp.ones((r,), bool) if valid is None else valid.astype(bool)
+    same_cell = (cx[:, None] == cx[None, :]) & (cy[:, None] == cy[None, :])
+    same_cell = same_cell & ok[None, :]
+    mult = jnp.maximum(jnp.sum(same_cell, axis=1), 1)  # (R,) cell multiplicity
+    inv_m = jnp.where(ok, 1.0 / mult, 0.0)
+    u = jnp.maximum(jnp.sum(inv_m), 1.0)  # number of unique cells
+
+    norm = jnp.maximum(jnp.linalg.norm(v, axis=1), 1e-8)
+    cos = (v @ v.T) / (norm[:, None] * norm[None, :])  # (R, R)
+    out = (cos * inv_m[None, :]) @ v / u
+    return out.astype(feat.dtype)

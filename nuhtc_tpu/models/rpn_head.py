@@ -12,7 +12,6 @@ NMS (iou 0.7), global top ``max_per_img``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Sequence, Tuple
 
 import jax
@@ -127,12 +126,6 @@ def rpn_proposals(
     """Batched proposal generation (vmapped over images)."""
     featmap_sizes = [tuple(cs.shape[1:3]) for cs in cls_scores]
     anchors = [jnp.asarray(a) for a in grid_anchors(featmap_sizes, strides, scales, ratios)]
-
-    def single(args):
-        cs, bp = args
-        return rpn_proposals_single(
-            cs, bp, anchors, img_shape, nms_pre, max_per_img, nms_iou, min_bbox_size
-        )
 
     return jax.vmap(lambda cs, bp: rpn_proposals_single(
         cs, bp, anchors, img_shape, nms_pre, max_per_img, nms_iou, min_bbox_size

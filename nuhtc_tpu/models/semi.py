@@ -97,8 +97,14 @@ class MultiStreamDetector:
         # differ between NuHTC ("s0.loss_*") and MaskRCNN ("loss_*") — sum
         # whichever are present
         zero = sup_losses["total"] * 0.0
-        unsup_keys = ("s0.loss_cls", "s0.loss_obj", "s0.loss_bbox",
-                      "loss_cls", "loss_bbox", "loss_rpn_cls", "loss_rpn_bbox")
+        # every cascade stage's cls/obj/bbox terms (NuHTC "sN.loss_*") plus
+        # the single-stage ("loss_*") and RPN names — stages 1/2 must get
+        # pseudo-label gradient too, not just stage 0
+        unsup_keys = tuple(
+            k for k in unsup_losses
+            if (k.split(".")[-1].startswith("loss_")
+                and "mask" not in k and "seg" not in k)
+        )
         total = sup_losses["total"] + unsup_weight * sum(
             (unsup_losses.get(k, zero) for k in unsup_keys), zero
         )

@@ -187,6 +187,7 @@ class SwinBlock(nn.Module):
     shift: bool
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    qk_scale: float | None = None
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
@@ -215,6 +216,7 @@ class SwinBlock(nn.Module):
             num_heads=self.num_heads,
             window_size=ws,
             qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
             attn_drop=self.attn_drop_rate,
             proj_drop=self.drop_rate,
             dtype=self.dtype,
@@ -356,6 +358,7 @@ class SwinTransformer(nn.Module):
                     shift=(blk_i % 2 == 1),
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale,
                     drop_rate=self.drop_rate,
                     attn_drop_rate=self.attn_drop_rate,
                     drop_path_rate=float(dprs[block_idx]),

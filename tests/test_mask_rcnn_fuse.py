@@ -158,16 +158,17 @@ def test_maskrcnn_losses_cum_passthrough(tiny_maskrcnn):
 
 
 def test_nuhtc_fuse_train_seg_branch_losses():
-    """lite_fuse training adds the seg-branch terms (reference
-    htc_roi_head_cus.py:390-392 + htc_seg_head_cus.py loss/loss_partial):
-    loss_binary_seg + loss_global_cls, finite; with gt_ismask the un-
-    annotated-instance pixels are masked out of the seg/dist terms
+    """lite_fuse training adds loss_binary_seg (reference _Lite_Fuse
+    forward_train, htc_roi_head_cus.py:3010-3012, trains ONLY that term);
+    fuse_aux_losses=True additionally enables the beyond-reference dist/cls
+    objectives. With gt_ismask the unannotated-instance pixels are masked out
     (loss_partial), so the value must differ from the all-annotated run."""
     model = NuHTC(
         num_classes=3,
         fpn_channels=32,
         backbone_cfg=TINY_BACKBONE,
         lite_fuse=True,
+        fuse_aux_losses=True,
         fuse_max_instances=16,
         rpn_nms_pre=128,
         rpn_max_per_img=64,
@@ -192,6 +193,7 @@ def test_nuhtc_fuse_train_seg_branch_losses():
 
     losses = run(batch)
     assert np.isfinite(float(losses["loss_binary_seg"]))
+    assert np.isfinite(float(losses["loss_dist"]))
     assert np.isfinite(float(losses["loss_global_cls"]))
 
     full = dict(batch)
