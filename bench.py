@@ -29,14 +29,91 @@ The round target is vs_baseline ≥ 5.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 A100_TILES_PER_SEC_EST = 35.0
 
+_PROBE_SRC = "import jax; x = jax.numpy.ones((128, 128)); print(float((x @ x).sum()))"
+
+
+def _probe_backend(timeout: float = 150.0) -> bool:
+    """Run a trivial matmul in a *subprocess* and report success.
+
+    The axon TPU tunnel occasionally wedges; when it does, any jax import in
+    this process would block forever inside the plugin's retry loop. A killed
+    subprocess keeps the parent clean so we can retry.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def wait_for_backend(max_wait: float) -> bool:
+    """Probe-with-backoff until the backend answers or ``max_wait`` expires.
+
+    The tunnel has been observed to self-recover in ~15 min (CLAUDE.md), so
+    the default window (40 min, BENCH_MAX_WAIT_S) comfortably covers a
+    transient outage instead of erasing the round's number (round-2 failure
+    mode: BENCH_r02.json rc=1).
+    """
+    deadline = time.time() + max_wait
+    delay = 60.0
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        if _probe_backend():
+            print(f"# backend probe ok (attempt {attempt})", file=sys.stderr)
+            return True
+        remaining = deadline - time.time()
+        print(
+            f"# backend probe failed (attempt {attempt}, {time.time()-t0:.0f}s); "
+            f"{remaining:.0f}s left in retry window",
+            file=sys.stderr,
+        )
+        if remaining <= 0:
+            return False
+        time.sleep(min(delay, max(remaining, 1.0)))
+        delay = min(delay * 1.5, 300.0)
+
 
 def main():
+    # Guard against a wedged/unavailable backend BEFORE importing jax here:
+    # probe in subprocesses with backoff, and fall back to CPU only if the
+    # window expires (a low CPU number beats no number at all).
+    max_wait = float(os.environ.get("BENCH_MAX_WAIT_S", "2400"))
+    in_fallback = os.environ.get("BENCH_CPU_FALLBACK") == "1"
+    if not in_fallback and not wait_for_backend(max_wait):
+        print(
+            "# backend unavailable after retry window — falling back to CPU "
+            "(expect a very low number; the TPU tunnel was down all round)",
+            file=sys.stderr,
+        )
+        # re-exec in a fresh interpreter with the axon site stripped from
+        # PYTHONPATH: a wedged tunnel can hang even JAX_PLATFORMS=cpu in a
+        # process where the plugin's sitecustomize already ran
+        env = dict(os.environ)
+        env["BENCH_CPU_FALLBACK"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = ":".join(
+            p
+            for p in ("/root/repo:" + env.get("PYTHONPATH", "")).split(":")
+            if p and ".axon_site" not in p
+        )
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
     import jax
     import jax.numpy as jnp
 
