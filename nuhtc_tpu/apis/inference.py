@@ -342,9 +342,35 @@ class TTAEngine:
             keys = [k for k in ("boxes", "scores", "labels", "probs", "masks")
                     if k in per_flip[0][i]]
             cat = {k: np.concatenate([pf[i][k] for pf in per_flip]) for k in keys}
-            if len(cat["scores"]) and "masks" in cat:
-                rles = [rle_ops.encode(m) for m in cat["masks"]]
-                _, keep = mask_nms(rles, cat["scores"], thr=0.5)
+            if len(cat["scores"]):
+                if "masks" in cat:
+                    rles = [rle_ops.encode(m) for m in cat["masks"]]
+                    _, keep = mask_nms(rles, cat["scores"], thr=0.5)
+                else:
+                    # paste_masks=False: dedup on box IoU — without any NMS
+                    # every instance would appear once per flip
+                    keep = _box_nms(cat["boxes"], cat["scores"], thr=0.5)
                 cat = {k: v[keep] for k, v in cat.items()}
             merged.append(cat)
         return merged
+
+
+def _box_nms(boxes: np.ndarray, scores: np.ndarray, thr: float = 0.5) -> np.ndarray:
+    """Greedy host-side box-IoU NMS; returns kept indices (score-desc)."""
+    order = np.argsort(-scores)
+    b = boxes[order].astype(np.float64)
+    areas = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
+    keep = []
+    alive = np.ones(len(b), bool)
+    for i in range(len(b)):
+        if not alive[i]:
+            continue
+        keep.append(order[i])
+        x1 = np.maximum(b[i, 0], b[i + 1:, 0])
+        y1 = np.maximum(b[i, 1], b[i + 1:, 1])
+        x2 = np.minimum(b[i, 2], b[i + 1:, 2])
+        y2 = np.minimum(b[i, 3], b[i + 1:, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        iou = inter / np.maximum(areas[i] + areas[i + 1:] - inter, 1e-12)
+        alive[i + 1:] &= iou <= thr
+    return np.asarray(keep, np.int64)

@@ -70,6 +70,8 @@ class MultiStreamDetector:
         unsup_weight: float = 1.0,
         rngs=None,
         unsup_img_teacher=None,
+        weighter=None,
+        step=None,
     ):
         """``unsup_img`` is the student (strong-aug) branch; pseudo labels
         come from ``unsup_img_teacher`` (weak aug) when given — the reference
@@ -93,6 +95,14 @@ class MultiStreamDetector:
             student_params, unsup_img, unsup_batch, cum,
             method="compute_losses", rngs=rngs,
         )
+        if weighter is not None:
+            # the Weighter hook must act on each branch BEFORE combination:
+            # applied to the combined "sup."/"unsup."-prefixed dict it would
+            # (a) never match user schedule keys like "s0.loss_cls" and
+            # (b) recompute a total that double-counts both branch totals and
+            # bypasses burn-in/unsup_weight gating (advisor finding, round 2)
+            sup_losses = weighter(sup_losses, step)
+            unsup_losses = weighter(unsup_losses, step)
         # unsupervised weighting covers the cls/bbox/RPN terms; key names
         # differ between NuHTC ("s0.loss_*") and MaskRCNN ("loss_*") — sum
         # whichever are present

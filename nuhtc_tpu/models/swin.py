@@ -14,6 +14,7 @@ shapes static.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
 import numpy as np
@@ -222,7 +223,7 @@ class SwinBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )
-        use_fused = (
+        eligible = (
             self.fused_attention
             and deterministic
             and self.dtype == jnp.bfloat16
@@ -231,7 +232,11 @@ class SwinBlock(nn.Module):
             # at 32² and below the block-diagonal waste dominates (measured)
             and h * w >= 64 * 64
         )
-        if use_fused:
+        # NUHTC_SWIN_KERNEL selects the Pallas kernel tier (read at trace
+        # time): "block" = fused full block (attention+LN2+MLP, fastest),
+        # "attn" = attention-only band kernel (default), "none" = pure XLA.
+        mode = os.environ.get("NUHTC_SWIN_KERNEL", "attn")
+        if eligible and mode == "block":
             # full-block Pallas kernel: attention + residual + LN2 + MLP +
             # residual in one VMEM pass (LN1 + pad/roll stay here so pad
             # tokens enter attention exactly as on the XLA path). Inference
@@ -256,10 +261,15 @@ class SwinBlock(nn.Module):
                 out = jnp.roll(out, (shift, shift), axis=(1, 2))
             return out[:, :h, :w, :]
 
-        mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift)) if shift else None
-        wins = window_partition(xp, ws)
-        wins = attn_mod(wins, mask=mask, deterministic=deterministic)
-        xp = window_reverse(wins, ws, hp, wp)
+        if eligible and mode == "attn":
+            # attention-only band kernel (TPU-validated round 2); LN2/MLP
+            # stay in XLA
+            xp = attn_mod(None, fused_map=xp, shift=shift, deterministic=True)
+        else:
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift)) if shift else None
+            wins = window_partition(xp, ws)
+            wins = attn_mod(wins, mask=mask, deterministic=deterministic)
+            xp = window_reverse(wins, ws, hp, wp)
 
         if shift:
             xp = jnp.roll(xp, (shift, shift), axis=(1, 2))

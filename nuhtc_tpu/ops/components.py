@@ -24,6 +24,7 @@ TPU design notes (measured on v5e):
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -188,7 +189,13 @@ def boxes_from_roots(lab: jnp.ndarray, roots: jnp.ndarray):
     fallback and the oracle."""
     h, w = lab.shape
     k = roots.shape[0]
-    if jax.default_backend() != "cpu" and k % 128 == 0 and h % 8 == 0 and w % 128 == 0:
+    if (
+        os.environ.get("NUHTC_COMPONENTS_KERNEL", "xla") == "pallas"
+        and jax.default_backend() != "cpu"
+        and k % 128 == 0 and h % 8 == 0 and w % 128 == 0
+    ):
+        # opt-in until validated compile+parity at production shapes on a
+        # real TPU (interpret-mode parity only so far)
         from nuhtc_tpu.ops.components_pallas import boxes_from_roots_pallas
 
         return boxes_from_roots_pallas(lab, roots)

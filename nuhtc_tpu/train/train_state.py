@@ -175,11 +175,12 @@ def make_train_step(model, tx, ema_momentum: float = 2e-4, finetune_iter: int = 
 
 
 def create_semi_train_state(model, params, num_stages: int = 1, num_classes: int = 5,
-                            schedule=None) -> Tuple[SemiTrainState, Any]:
+                            schedule=None, tx=None) -> Tuple[SemiTrainState, Any]:
     """Teacher starts as a clone of the student (reference MeanTeacher
-    before_run: momentum_update(model, 0) at iter 0)."""
+    before_run: momentum_update(model, 0) at iter 0). ``tx`` overrides the
+    default optimizer (e.g. a paramwise custom_keys named optimizer)."""
     schedule = schedule or lr_schedule()
-    tx = create_optimizer(schedule)
+    tx = tx or create_optimizer(schedule)
     opt_state = tx.init(params)
     return (
         SemiTrainState(
@@ -227,9 +228,12 @@ def make_semi_train_step(
             unsup_weight=uw,
             rngs={"sampling": rng, "dropout": jax.random.fold_in(rng, 1)},
             unsup_img_teacher=batch.get("unsup_img_teacher"),
+            # reference Weighter hook — applied per-branch inside semi_loss
+            # so schedule keys match and the burn-in/unsup_weight gating in
+            # the combined total is preserved
+            weighter=weighter,
+            step=step,
         )
-        if weighter is not None:  # reference Weighter hook, semi runs included
-            losses = weighter(losses, step)
         return losses["total"], (losses, new_cum)
 
     def train_step(state: SemiTrainState, batch: Dict[str, jnp.ndarray], rng):

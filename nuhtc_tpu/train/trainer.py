@@ -109,6 +109,30 @@ class Trainer:
         if finetune_iter is None:
             finetune_iter = 15000
 
+        # reference NamedOptimizerConstructor paramwise groups (mmcv
+        # custom_keys) route through build_named_optimizer with the SAME
+        # warmup+step schedule; without custom_keys, create_optimizer's
+        # decay_mask already encodes the reference Swin no-decay keys.
+        # Built BEFORE the semi/supervised split so semi runs honor
+        # custom_keys too (advisor finding, round 2).
+        custom_keys = (
+            self.cfg.get("optimizer", {})
+            .get("paramwise_cfg", {})
+            .get("custom_keys")
+        )
+        named_tx = None
+        if custom_keys:
+            from nuhtc_tpu.train.optim_groups import build_named_optimizer
+
+            rules = [
+                dict(pattern=k, **v) for k, v in dict(custom_keys).items()
+            ]
+            named_tx = build_named_optimizer(
+                params, base_lr=schedule,
+                weight_decay=self.cfg.get("optimizer", {}).get("weight_decay", 0.05),
+                rules=rules,
+            )
+
         semi_cfg = self.cfg.get("semi_wrapper")
         if semi_cfg:
             from nuhtc_tpu.models.semi import MultiStreamDetector
@@ -123,6 +147,7 @@ class Trainer:
                 num_stages=getattr(model, "num_stages", 1),
                 num_classes=model.num_classes,
                 schedule=schedule,
+                tx=named_tx,
             )
             train_step = make_semi_train_step(
                 wrapper, tx,
@@ -138,27 +163,6 @@ class Trainer:
                 weighter=weighter,
             )
         else:
-            # reference NamedOptimizerConstructor paramwise groups (mmcv
-            # custom_keys) route through build_named_optimizer with the SAME
-            # warmup+step schedule; without custom_keys, create_optimizer's
-            # decay_mask already encodes the reference Swin no-decay keys
-            custom_keys = (
-                self.cfg.get("optimizer", {})
-                .get("paramwise_cfg", {})
-                .get("custom_keys")
-            )
-            named_tx = None
-            if custom_keys:
-                from nuhtc_tpu.train.optim_groups import build_named_optimizer
-
-                rules = [
-                    dict(pattern=k, **v) for k, v in dict(custom_keys).items()
-                ]
-                named_tx = build_named_optimizer(
-                    params, base_lr=schedule,
-                    weight_decay=self.cfg.get("optimizer", {}).get("weight_decay", 0.05),
-                    rules=rules,
-                )
             state, tx = create_train_state(
                 model, params,
                 num_stages=getattr(model, "num_stages", 1),  # MaskRCNN has one stage

@@ -76,7 +76,11 @@ class Weighter:
         for name, fn in self.schedules.items():
             if name in out:
                 out[name] = out[name] * fn(step)
-        out["total"] = sum(v for k, v in out.items() if k != "total")
+        # aggregate keys ("total", "sup.total", …) must not feed the
+        # recomputed sum — they'd double-count their constituent terms
+        out["total"] = sum(
+            v for k, v in out.items() if k != "total" and not k.endswith(".total")
+        )
         return out
 
 

@@ -121,9 +121,11 @@ class NucleiExporter:
                 )
         if m in ("coco", "all") and rles is not None and tile_hw is not None:
             h, w = tile_hw
+            # file_name resolves relative to the json's directory (standard
+            # COCO convention) — the pixels live under patches/
             self.coco_imgs.append(
-                dict(file_name=f"{annidx}.png", height=h, width=w, id=annidx,
-                     n_objects=len(contours))
+                dict(file_name=f"patches/{annidx}.png", height=h, width=w,
+                     id=annidx, n_objects=len(contours))
             )
             if tile is not None:
                 # reference infer_wsi.py:631-634 saves the patch image next

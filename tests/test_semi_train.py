@@ -171,6 +171,59 @@ def test_semi_prefetch_loader_batch_contract(tmp_path):
     assert batch["unsup_img"].dtype == np.float32
 
 
+def test_semi_weighter_applies_per_branch(tiny_semi):
+    """The Weighter hook must act on each branch BEFORE combination: schedule
+    keys match the raw term names ("loss_rpn_cls", not "sup.loss_rpn_cls"),
+    and the combined total keeps burn-in gating (round-2 advisor finding:
+    applied post-combination it double-counted the branch totals and
+    bypassed the burn-in/unsup_weight gate)."""
+    from nuhtc_tpu.utils.hooks import build_weighter
+
+    model, params = tiny_semi
+    wrapper = MultiStreamDetector(model, score_thr=0.5, max_gt=16)
+    batch = _semi_batch()
+    rng = jax.random.PRNGKey(1)
+
+    def run(weighter):
+        state, tx = create_semi_train_state(model, params, num_stages=1, num_classes=4)
+        step_fn = jax.jit(
+            make_semi_train_step(
+                wrapper, tx, teacher_momentum=0.999, unsup_weight=2.0,
+                burn_in=10, finetune_iter=0, weighter=weighter,
+            )
+        )
+        _, metrics = step_fn(state, batch, rng)
+        return metrics
+
+    base = run(None)
+    scaled = run(build_weighter({"loss_rpn_cls": 4.0}))
+    # the schedule key matched the raw per-branch name
+    np.testing.assert_allclose(
+        float(scaled["sup.loss_rpn_cls"]), 4.0 * float(base["sup.loss_rpn_cls"]),
+        rtol=1e-5,
+    )
+    # burn-in gating survives re-weighting: total == re-weighted sup total
+    np.testing.assert_allclose(
+        float(scaled["total"]), float(scaled["sup.total"]), rtol=1e-5
+    )
+    # and the sup total was itself recomputed from the re-weighted terms
+    expect = float(base["sup.total"]) + 3.0 * float(base["sup.loss_rpn_cls"])
+    np.testing.assert_allclose(float(scaled["sup.total"]), expect, rtol=1e-5)
+
+
+def test_weighter_excludes_aggregate_keys():
+    from nuhtc_tpu.utils.hooks import build_weighter
+
+    w = build_weighter({"loss_a": 2.0})
+    losses = {"loss_a": jnp.float32(1.0), "sup.total": jnp.float32(5.0),
+              "total": jnp.float32(1.0)}
+    out = w(losses, jnp.int32(0))
+    # ".total"-suffixed aggregates are reported, never summed: the new total
+    # is just the re-weighted loss_a
+    np.testing.assert_allclose(float(out["total"]), 2.0)
+    np.testing.assert_allclose(float(out["sup.total"]), 5.0)
+
+
 def test_weighter_piecewise_schedule_shapes_total():
     from nuhtc_tpu.utils.hooks import build_weighter
 

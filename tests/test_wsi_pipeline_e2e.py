@@ -82,3 +82,38 @@ def test_tta_engine(tiny_engine):
     out = tta.run_batch(imgs)
     assert len(out) == 1
     assert "boxes" in out[0] and "masks" in out[0]
+
+
+def test_tta_box_nms_dedups_without_masks():
+    """paste_masks=False: the merge must still dedup (box-IoU NMS) — every
+    instance otherwise appears once per flip (round-2 advisor finding)."""
+    from nuhtc_tpu.apis.inference import TTAEngine, _box_nms
+
+    class _FakeEngine:
+        def run_batch(self, imgs):
+            out = []
+            for im in imgs:
+                h, w = im.shape[:2]
+                boxes = np.array([[10.0, 10.0, 20.0, 20.0],
+                                  [40.0, 8.0, 50.0, 18.0]], np.float32)
+                if im[0, -1, 0] == 7:  # marker pixel moved → flipped view
+                    boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+                out.append(dict(boxes=boxes,
+                                scores=np.array([0.9, 0.8], np.float32),
+                                labels=np.array([0, 1], np.int64)))
+            return out
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[0, 0, 0] = 7  # asymmetric so the fake engine can detect the flip
+    tta = TTAEngine(_FakeEngine(), flips=("none", "horizontal"))
+    out = tta.run_batch([img])[0]
+    # both flips produce the same two instances in the original frame —
+    # the merge keeps exactly two
+    assert len(out["scores"]) == 2
+    assert "masks" not in out
+
+    # _box_nms keeps disjoint boxes and drops exact overlaps
+    keep = _box_nms(np.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
+                             np.float32),
+                    np.array([0.5, 0.9, 0.7], np.float32), thr=0.5)
+    assert sorted(keep.tolist()) == [1, 2]
