@@ -37,6 +37,61 @@ def binarize(arr6: np.ndarray) -> np.ndarray:
     return out
 
 
+def compute_stats(true, pred, types=None, num_classes=None):
+    """Reference main() body (:94-180) on in-memory arrays; returns the
+    results dict. ``types``: optional per-image tissue-type array."""
+    assert len(true) == len(pred), (len(true), len(pred))
+    n = len(true)
+    if num_classes is None:
+        num_classes = true[0].shape[2] - 1
+
+    bpq_list = []
+    mpq_per_img = np.full((n, num_classes), np.nan)
+    for i in range(n):
+        t6, p6 = true[i], pred[i]
+        true_bin = binarize(t6)
+        if len(np.unique(true_bin)) == 1:
+            # reference :103-105: empty GT ⇒ NaN REGARDLESS of predictions
+            # (a pred-only image must not drag bPQ to 0)
+            bpq_list.append(np.nan)
+        else:
+            [_, _, bpq], _ = get_fast_pq(true_bin, remap_label(binarize(p6)))
+            bpq_list.append(bpq)
+        for c in range(num_classes):
+            t = remap_label(t6[:, :, c].astype(np.int32))
+            p = remap_label(p6[:, :, c].astype(np.int32))
+            if len(np.unique(t)) == 1:
+                continue  # stays NaN — empty GT class (reference :117-119)
+            [_, _, pq], _ = get_fast_pq(t, p)
+            mpq_per_img[i, c] = pq
+
+    # per-image mPQ = nanmean over classes (reference mPQ_each_image)
+    mpq_each_image = np.nanmean(mpq_per_img, axis=1)
+    results = {}
+    for c in range(num_classes):
+        results[f"PQ_class_{c}"] = float(np.nanmean(mpq_per_img[:, c]))
+
+    if types is not None:
+        # reference :155-176: Average mPQ/bPQ are means over the per-TISSUE
+        # means, not over images
+        tissue_mpq, tissue_bpq = [], []
+        for tt in sorted(set(types.tolist())):
+            sel = np.asarray([t == tt for t in types])
+            m = float(np.nanmean(mpq_each_image[sel]))
+            b = float(np.nanmean(np.asarray(bpq_list)[sel]))
+            results[f"mPQ_{tt}"] = m
+            results[f"bPQ_{tt}"] = b
+            tissue_mpq.append(m)
+            tissue_bpq.append(b)
+        results["mPQ"] = float(np.nanmean(tissue_mpq))
+        results["bPQ"] = float(np.nanmean(tissue_bpq))
+    else:
+        # no tissue file: aggregate over images directly
+        results["mPQ"] = float(np.nanmean(mpq_each_image))
+        results["bPQ"] = float(np.nanmean(bpq_list))
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--true", required=True)
@@ -47,36 +102,8 @@ def main():
 
     true = np.load(args.true, allow_pickle=True)
     pred = np.load(args.pred, allow_pickle=True)
-    assert len(true) == len(pred), (len(true), len(pred))
-    n, num_classes = len(true), true[0].shape[2] - 1
-
-    bpq_list = []
-    mpq_per_img = np.full((n, num_classes), np.nan)
-    for i in range(n):
-        t6, p6 = true[i], pred[i]
-        [_, _, bpq], _ = get_fast_pq(binarize(t6), binarize(p6))
-        has_gt_or_pred = (t6[:, :, :num_classes].sum() + p6[:, :, :num_classes].sum()) > 0
-        bpq_list.append(bpq if has_gt_or_pred else np.nan)
-        for c in range(num_classes):
-            t, p = t6[:, :, c].astype(np.int32), p6[:, :, c].astype(np.int32)
-            if t.max() == 0 and p.max() == 0:
-                continue  # stays NaN (class absent in both)
-            [_, _, pq], _ = get_fast_pq(t, p)
-            mpq_per_img[i, c] = pq
-
-    results = {
-        "bPQ": float(np.nanmean(bpq_list)),
-        "mPQ": float(np.nanmean(np.nanmean(mpq_per_img, axis=0))),
-    }
-    for c in range(num_classes):
-        results[f"PQ_class_{c}"] = float(np.nanmean(mpq_per_img[:, c]))
-
-    if args.types:
-        types = np.load(args.types, allow_pickle=True)
-        for tt in sorted(set(types.tolist())):
-            sel = np.asarray([t == tt for t in types])
-            results[f"bPQ_{tt}"] = float(np.nanmean(np.asarray(bpq_list)[sel]))
-            results[f"mPQ_{tt}"] = float(np.nanmean(np.nanmean(mpq_per_img[sel], axis=0)))
+    types = np.load(args.types, allow_pickle=True) if args.types else None
+    results = compute_stats(true, pred, types=types)
 
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
