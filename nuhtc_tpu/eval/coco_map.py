@@ -112,6 +112,137 @@ def evaluate_map(
     return out
 
 
+def _match_image_ignore(iou: np.ndarray, thr: float, gt_ignore: np.ndarray):
+    """COCOeval-style greedy matching with ignore semantics for one
+    image/class (pycocotools COCOeval.evaluateImg behavior spec): gts are
+    visited unignored-first; once a detection holds an unignored match it
+    never trades it for an ignored one; ignored gts act like crowds (matched
+    without being consumed, the detection becomes ignored). Returns
+    (dt_matched, dt_ignored, gt_matched)."""
+    nd, ng = iou.shape
+    order = np.argsort(gt_ignore, kind="stable")  # unignored gts first
+    gt_taken = np.zeros(ng, bool)
+    dt_m = np.zeros(nd, bool)
+    dt_ig = np.zeros(nd, bool)
+    for d in range(nd):
+        best, best_iou = -1, min(thr, 1 - 1e-10)
+        for g in order:
+            if gt_taken[g] and not gt_ignore[g]:
+                continue
+            if best > -1 and not gt_ignore[best] and gt_ignore[g]:
+                break
+            if iou[d, g] < best_iou:
+                continue
+            best_iou = iou[d, g]
+            best = g
+        if best == -1:
+            continue
+        dt_ig[d] = bool(gt_ignore[best])
+        if not gt_ignore[best]:
+            gt_taken[best] = True
+            dt_m[d] = True
+    return dt_m, dt_ig, gt_taken
+
+
+def pr_curves(
+    per_image: List[Dict],
+    num_classes: int,
+    iou_thrs: Sequence[float],
+    area_rngs: Sequence[Sequence[float]] = ((0.0, 1e10),),
+    max_dets: int = 100,
+    gt_ignore_key: str = "gt_ignore",
+    iou_fn=None,  # optional callable(image_entry, dsel, gsel) → iou matrix (masks)
+) -> np.ndarray:
+    """COCOeval ``eval['precision']``-shaped PR curves: (T, R, K, A) —
+    precision at the 101 recall thresholds per IoU threshold, class, and
+    area range (behavior spec: pycocotools COCOeval.accumulate; used by the
+    reference's coco_error_analysis.py:262-296 allowed-error progression).
+
+    Area is box area (the reference tool feeds detection jsons whose
+    ``area`` equals the box/segment area; for nuclei the distinction is
+    immaterial at the plot level). Entries may carry an optional per-gt
+    ``gt_ignore`` bool array (the tool's confusion-forgiveness relabeling);
+    gts outside the area range are additionally ignored, and unmatched
+    detections outside the range are excluded, per COCO protocol.
+    Classes with zero unignored gts get -1 (COCOeval's sentinel)."""
+    iou_thrs = np.asarray(iou_thrs, np.float64)
+    T, K, A, R = len(iou_thrs), num_classes, len(area_rngs), len(RECALL_THRS)
+    ps = np.full((T, R, K, A), -1.0)
+
+    def box_area(b):
+        return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+    for c in range(K):
+        per_img_cls = []
+        for img in per_image:
+            dsel = img["dt_labels"] == c
+            gsel = img["gt_labels"] == c
+            scores = img["dt_scores"][dsel]
+            order = np.argsort(-scores, kind="stable")[:max_dets]
+            dt_boxes = img["dt_boxes"][dsel][order]
+            gt_boxes = img["gt_boxes"][gsel]
+            base_ig = (
+                np.asarray(img[gt_ignore_key])[gsel]
+                if gt_ignore_key in img
+                else np.zeros(len(gt_boxes), bool)
+            )
+            if iou_fn is not None:
+                iou = iou_fn(img, dsel, gsel)
+                iou = iou[order] if iou.size else iou
+            else:
+                iou = _box_iou(dt_boxes, gt_boxes)
+            dt_area = (
+                np.asarray(img["dt_areas"])[dsel][order]
+                if "dt_areas" in img
+                else box_area(dt_boxes)
+            )
+            gt_area = (
+                np.asarray(img["gt_areas"])[gsel]
+                if "gt_areas" in img
+                else box_area(gt_boxes)
+            )
+            per_img_cls.append((scores[order], iou, base_ig, dt_area, gt_area))
+        for a, (lo, hi) in enumerate(area_rngs):
+            n_gt = 0
+            scores_all, match_all, ig_all = [], [], []
+            for scores, iou, base_ig, dt_area, gt_area in per_img_cls:
+                gt_ig = base_ig | (gt_area < lo) | (gt_area > hi)
+                n_gt += int((~gt_ig).sum())
+                dt_out = (dt_area < lo) | (dt_area > hi)
+                dt_m = np.zeros((T, len(scores)), bool)
+                dt_ig = np.zeros((T, len(scores)), bool)
+                for t, thr in enumerate(iou_thrs):
+                    m, ig, _ = _match_image_ignore(iou, thr, gt_ig)
+                    dt_m[t] = m
+                    dt_ig[t] = ig | (~m & dt_out)
+                scores_all.append(scores)
+                match_all.append(dt_m)
+                ig_all.append(dt_ig)
+            if n_gt == 0:
+                continue
+            scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
+            order = np.argsort(-scores, kind="stable")
+            for t in range(T):
+                matched = np.concatenate([m[t] for m in match_all])[order]
+                ignored = np.concatenate([g[t] for g in ig_all])[order]
+                matched, keep = matched[~ignored], ~ignored
+                if not keep.any():
+                    ps[t, :, c, a] = 0.0
+                    continue
+                tp = np.cumsum(matched)
+                fp = np.cumsum(~matched)
+                recall = tp / n_gt
+                precision = tp / np.maximum(tp + fp, 1e-9)
+                precision = np.maximum.accumulate(precision[::-1])[::-1]
+                idxs = np.searchsorted(recall, RECALL_THRS, side="left")
+                ps[t, :, c, a] = np.where(
+                    idxs < len(precision),
+                    precision[np.minimum(idxs, len(precision) - 1)],
+                    0.0,
+                )
+    return ps
+
+
 def proposal_recall(
     per_image: List[Dict], proposal_nums: Sequence[int] = (100, 300, 1000)
 ) -> Dict[str, float]:

@@ -98,6 +98,17 @@ def gather_objects(obj: Any) -> List[Any]:
     return out
 
 
+def merge_strided_results(parts: Sequence[Sequence[Any]]) -> List[Any]:
+    """Merge per-process (index, result) lists back into dataset order.
+
+    Processes stride the dataset (``idxs = pid::nproc``, reference
+    tools/test.py:239 multi-GPU collect), so per-process lists have uneven
+    lengths when ``n % nproc != 0``; the merged list is sorted by the
+    original index. Input: ``gather_objects(list(zip(my_idxs, results)))``."""
+    merged = sorted((pair for part in parts for pair in part), key=lambda p: p[0])
+    return [r for _, r in merged]
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

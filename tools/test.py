@@ -98,13 +98,12 @@ def main():
     print()
 
     if nproc > 1:
-        from nuhtc_tpu.parallel.mesh import gather_objects
+        from nuhtc_tpu.parallel.mesh import gather_objects, merge_strided_results
 
         parts = gather_objects(list(zip(my_idxs, results)))
         if pid != 0:
             return  # rank 0 evaluates (reference collect_results → rank 0)
-        merged = sorted((pair for part in parts for pair in part), key=lambda p: p[0])
-        results = [r for _, r in merged]
+        results = merge_strided_results(parts)
 
     if args.out:
         import pickle
