@@ -243,7 +243,8 @@ class SemiPrefetchLoader:
 
     def _worker_loop(self):
         while not self._stop.is_set():
-            rng = np.random.RandomState(self.seed + self._next_seed())
+            seq = self._next_seed()
+            rng = np.random.RandomState(self.seed + seq)
             sup_samples = [
                 prepare_train_sample(self.sup, rng.randint(len(self.sup)), self.pipeline, rng)
                 for _ in range(self.batch_size)
@@ -260,7 +261,7 @@ class SemiPrefetchLoader:
             batch["unsup_img_teacher"] = weak
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=0.5)
+                    self._q.put((seq, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -272,14 +273,34 @@ class SemiPrefetchLoader:
                 t.start()
                 self._threads.append(t)
         while True:
-            try:
-                yield self._q.get(timeout=1.0)
-            except queue.Empty:
-                if self._err is not None:
-                    raise RuntimeError("SemiPrefetchLoader worker crashed") from self._err
+            yield _ordered_get(self)
 
     def close(self):
         self._stop.set()
+
+
+def _ordered_get(loader):
+    """Emit worker-produced batches in sequence order.
+
+    Workers tag each batch with the seed counter it was built from; the
+    consumer buffers out-of-order arrivals so a fixed seed yields the SAME
+    batch sequence every run regardless of thread scheduling (two runs of
+    tools/train.py --seed 0 previously diverged because whichever thread won
+    the race enqueued first). The buffer is bounded: at most num_threads
+    batches can arrive ahead of the next expected sequence number."""
+    pending = loader.__dict__.setdefault("_pending", {})
+    nxt = loader.__dict__.setdefault("_next_emit", 0)
+    while nxt not in pending:
+        try:
+            seq, batch = loader._q.get(timeout=1.0)
+            pending[seq] = batch
+        except queue.Empty:
+            if loader._err is not None:
+                raise RuntimeError(
+                    f"{type(loader).__name__} worker crashed"
+                ) from loader._err
+    loader._next_emit = nxt + 1
+    return pending.pop(nxt)
 
 
 class PrefetchLoader:
@@ -329,7 +350,8 @@ class PrefetchLoader:
     def _worker_loop(self):
         inner = self.dataset.dataset if isinstance(self.dataset, CASDataset) else self.dataset
         while not self._stop.is_set():
-            rng = np.random.RandomState(self.seed + self._next_seed())
+            seq = self._next_seed()
+            rng = np.random.RandomState(self.seed + seq)
             samples = []
             for _ in range(self.batch_size):
                 if self.class_aware:
@@ -340,7 +362,7 @@ class PrefetchLoader:
             batch = collate_train(samples, max_gt=self.max_gt)
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=0.5)
+                    self._q.put((seq, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -352,11 +374,7 @@ class PrefetchLoader:
                 t.start()
                 self._threads.append(t)
         while True:
-            try:
-                yield self._q.get(timeout=1.0)
-            except queue.Empty:
-                if self._err is not None:
-                    raise RuntimeError("PrefetchLoader worker crashed") from self._err
+            yield _ordered_get(self)
 
     def close(self):
         self._stop.set()

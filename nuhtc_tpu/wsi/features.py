@@ -274,15 +274,20 @@ def nucleus_features(
     if not contours:
         return None
     cont = max(contours, key=cv2.contourArea)
-    area = float(cv2.contourArea(cont))
-    if area <= 0:
+    if cv2.contourArea(cont) <= 0:
         return None
+    # histomicstk Size.Area/ConvexHullArea are regionprops PIXEL COUNTS
+    # (the published rows in reference README.md:281-287 are integers);
+    # cv2.contourArea (polygon through pixel centers) runs ~4-5% low
+    area = float(int(mask.sum()))
     perimeter = float(cv2.arcLength(cont, True))
     m = cv2.moments(cont)
     cx = m["m10"] / max(m["m00"], 1e-9) + offset[0]
     cy = m["m01"] / max(m["m00"], 1e-9) + offset[1]
     hull = cv2.convexHull(cont)
-    hull_area = max(float(cv2.contourArea(hull)), 1e-9)
+    hull_img = np.zeros_like(mask)
+    cv2.fillConvexPoly(hull_img, hull[:, 0], 1)
+    hull_area = max(float(int(hull_img.sum())), 1.0)
     x, y, bw, bh = cv2.boundingRect(cont)
 
     # ellipse fit (needs ≥5 points)
@@ -343,3 +348,83 @@ def nucleus_features(
         for k, v in _glcm(gray, mask).items():
             feats[f"haralick_{k}"] = v
     return feats
+
+
+# --------------------------------------------------------------------------- #
+# histomicstk column map
+# --------------------------------------------------------------------------- #
+
+def _histomicstk_column_map() -> Dict[str, List[str]]:
+    """histomicstk.features.compute_nuclei_features column → the column(s)
+    here that carry the same quantity (reference tools/wsi_feat_extract.py:
+    93-107 and the golden feature rows in reference README.md:281-287).
+
+    Semantics notes (documented in docs/FEATURES.md):
+    - Orientation.Orientation is regionprops radians; ``orientation`` is the
+      cv2.fitEllipse angle in degrees.
+    - Nucleus.Intensity.* are computed on 255-minus-hematoxylin uint8
+      (reference :95-96); ``hematoxylin_*`` use the Ruifrok-Johnston
+      concentration map directly, so absolute values differ by an affine
+      rescale while the distribution-shape stats (skewness, kurtosis,
+      entropy, hist_energy) are directly comparable.
+    - Identifier.Xmax/Ymax are bbox_x + bbox_w / bbox_y + bbox_h.
+    """
+    m: Dict[str, List[str]] = {
+        "Label": ["label"],
+        "Identifier.Xmin": ["bbox_x"],
+        "Identifier.Ymin": ["bbox_y"],
+        "Identifier.Xmax": ["bbox_x", "bbox_w"],
+        "Identifier.Ymax": ["bbox_y", "bbox_h"],
+        "Identifier.CentroidX": ["centroid_x"],
+        "Identifier.CentroidY": ["centroid_y"],
+        "Identifier.WeightedCentroidX": ["weighted_centroid_x"],
+        "Identifier.WeightedCentroidY": ["weighted_centroid_y"],
+        "Orientation.Orientation": ["orientation"],
+        "Size.Area": ["area"],
+        "Size.ConvexHullArea": ["convex_hull_area"],
+        "Size.MajorAxisLength": ["major_axis_length"],
+        "Size.MinorAxisLength": ["minor_axis_length"],
+        "Size.Perimeter": ["perimeter"],
+        "Shape.Circularity": ["circularity"],
+        "Shape.Eccentricity": ["eccentricity"],
+        "Shape.EquivalentDiameter": ["equivalent_diameter"],
+        "Shape.Extent": ["extent"],
+        "Shape.FractalDimension": ["fractal_dimension"],
+        "Shape.MinorMajorAxisRatio": ["minor_major_axis_ratio"],
+        "Shape.Solidity": ["solidity"],
+        "Nucleus.Gradient.Mag.Mean": ["grad_mag_mean"],
+        "Nucleus.Gradient.Mag.Std": ["grad_mag_std"],
+        "Nucleus.Gradient.Mag.Skewness": ["grad_mag_skewness"],
+        "Nucleus.Gradient.Mag.Kurtosis": ["grad_mag_kurtosis"],
+        "Nucleus.Gradient.Mag.HistEntropy": ["grad_mag_entropy"],
+        "Nucleus.Gradient.Mag.HistEnergy": ["grad_mag_energy"],
+        "Nucleus.Gradient.Canny.Sum": ["grad_canny_sum"],
+        "Nucleus.Gradient.Canny.Mean": ["grad_canny_mean"],
+        # CSV context columns appended by extract_slide_features
+        "cell_type": ["class"],
+    }
+    for i in range(1, 8):
+        m[f"Shape.HuMoments{i}"] = [f"hu_moment{i}"]
+        m[f"Shape.WeightedHuMoments{i}"] = [f"weighted_hu_moment{i}"]
+    for i in range(1, 7):
+        m[f"Shape.FSD{i}"] = [f"fsd{i}"]
+    for hk, ok in (("Min", "min"), ("Max", "max"), ("Mean", "mean"),
+                   ("Median", "median"), ("MeanMedianDiff", "mean_median_diff"),
+                   ("Std", "std"), ("IQR", "iqr"), ("MAD", "mad"),
+                   ("Skewness", "skewness"), ("Kurtosis", "kurtosis"),
+                   ("HistEnergy", "hist_energy"), ("HistEntropy", "entropy")):
+        m[f"Nucleus.Intensity.{hk}"] = [f"hematoxylin_{ok}"]
+    for hk, ok in (("ASM", "asm"), ("Contrast", "contrast"),
+                   ("Correlation", "correlation"),
+                   ("SumOfSquares", "sum_of_squares"), ("IDM", "idm"),
+                   ("SumAverage", "sum_average"), ("SumVariance", "sum_variance"),
+                   ("SumEntropy", "sum_entropy"), ("Entropy", "entropy"),
+                   ("DifferenceVariance", "difference_variance"),
+                   ("DifferenceEntropy", "difference_entropy"),
+                   ("IMC1", "imc1"), ("IMC2", "imc2")):
+        m[f"Nucleus.Haralick.{hk}.Mean"] = [f"haralick_{ok}"]
+        m[f"Nucleus.Haralick.{hk}.Range"] = [f"haralick_{ok}_range"]
+    return m
+
+
+HISTOMICSTK_COLUMN_MAP = _histomicstk_column_map()

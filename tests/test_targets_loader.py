@@ -238,3 +238,62 @@ def test_instance_balanced_round_robin():
     pos_gts = np.asarray(samp.gt_inds)[np.asarray(samp.is_pos)]
     # 4 positive slots: round-robin gives both gts representation (2/2)
     assert (pos_gts == 1).sum() >= 1 and (pos_gts == 0).sum() >= 1, pos_gts
+
+
+def test_prefetch_loader_deterministic_order():
+    """Batches must arrive in seed-counter order regardless of worker-thread
+    scheduling: two seeded loaders with different thread counts yield the
+    SAME batch sequence (fixed in round 3 — tools/train.py --seed 0 runs
+    previously diverged because whichever worker won the race enqueued
+    first; cum_samples then drifted between identical runs)."""
+    import cv2
+
+    from nuhtc_tpu.data.loader import PrefetchLoader
+    from nuhtc_tpu.data.pipelines import build_train_pipeline
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def load_image(self, idx):
+            return (np.random.RandomState(idx).rand(64, 64, 3) * 255).astype(np.float32)
+
+        def get_ann_info(self, idx):
+            from nuhtc_tpu.ops import rle as R
+
+            m = np.zeros((64, 64), np.uint8)
+            cv2.circle(m, (20 + idx, 30), 8, 1, -1)
+            return dict(
+                bboxes=np.asarray([[12 + idx, 22, 29 + idx, 39]], np.float32),
+                labels=np.asarray([idx % 3]),
+                masks=[R.encode(m)],
+                ismask=np.asarray([1]),
+                height=64,
+                width=64,
+            )
+
+        def load_semantic(self, idx):
+            return None
+
+    pipeline = build_train_pipeline([
+        dict(type="PhotoMetricDistortion"),
+        dict(type="RandomFlip", flip_ratio=0.5),
+        dict(type="Normalize"),
+        dict(type="Pad", size_divisor=32),
+        dict(type="SegRescale", scale_factor=0.25),
+    ])
+
+    def take(n_threads, n_batches=5):
+        loader = PrefetchLoader(DS(), pipeline, batch_size=2, max_gt=4, seed=0,
+                                num_threads=n_threads, prefetch=2)
+        it = iter(loader)
+        batches = [next(it) for _ in range(n_batches)]
+        loader.close()
+        return batches
+
+    a = take(1)
+    b = take(3)
+    for ba, bb in zip(a, b):
+        assert sorted(ba) == sorted(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
