@@ -14,7 +14,8 @@ Outputs:
   tests/goldens/full_scale/REPORT.md   f32/HIGHEST + bf16 delta report
 
 The moment a real reference checkpoint appears, PQ parity is one command:
-swap build_full_sd for torch.load and rerun.
+  python tools/misc/full_scale_parity.py --checkpoint models/pannuke.pth
+(oracle + JAX graph both consume the real weights, production score_thr).
 
 Mint goldens + report (~15 min on one CPU core):
   JAX_PLATFORMS=cpu PYTHONPATH=. python tools/misc/full_scale_parity.py --mint
@@ -60,16 +61,13 @@ def load_demo_images():
     return [os.path.splitext(os.path.basename(p))[0] for p in paths], imgs
 
 
-def build_model(dtype, exact):
-    import jax.numpy as jnp
-
+def build_model(dtype, exact, score_thr=0.05):
     from nuhtc_tpu.models.detector import NuHTC
 
-    del jnp  # dtype passed in
     return NuHTC(
         num_classes=5, fpn_channels=64, strides=(4, 8, 16, 32),
         rpn_nms_pre=3000, rpn_max_per_img=1000, rpn_nms_iou=0.7,
-        rpn_min_bbox_size=10.0, rcnn_score_thr=0.05, rcnn_nms_iou=0.5,
+        rpn_min_bbox_size=10.0, rcnn_score_thr=score_thr, rcnn_nms_iou=0.5,
         rcnn_max_per_img=500, nms_candidates=2048,
         watershed_proposal=True, watershed_max=512, watershed_min_area=10,
         scale_factor=2.0, exact_rois=exact, dtype=dtype,
@@ -79,12 +77,12 @@ def build_model(dtype, exact):
     )
 
 
-def run_jax(params, imgs_prep, dtype, exact):
+def run_jax(params, imgs_prep, dtype, exact, score_thr=0.05):
     """→ list of per-image dicts with only the VALID detections."""
     import jax
     import jax.numpy as jnp
 
-    model = build_model(dtype, exact)
+    model = build_model(dtype, exact, score_thr)
     fwd = jax.jit(lambda p, x: model.apply(p, x))
     outs = []
     for img in imgs_prep:
@@ -136,7 +134,14 @@ def main():
                     help="run the torch oracle and (re)write the goldens + report")
     ap.add_argument("--skip-bf16", action="store_true")
     ap.add_argument("--limit", type=int, default=0, help="first N images only")
+    ap.add_argument("--checkpoint", default=None,
+                    help="real reference .pth state dict — the oracle and the "
+                         "JAX graph both consume it instead of the synthetic "
+                         "seed-%d weights; implies --mint (fresh goldens + "
+                         "report for the real weights)" % SEED)
     args = ap.parse_args()
+    if args.checkpoint:
+        args.mint = True
 
     names, imgs = load_demo_images()
     if not imgs:
@@ -151,17 +156,38 @@ def main():
     from torch_oracle import OracleArch, apply_sd, build_full_sd, oracle_full_forward
 
     arch = OracleArch()
-    rng = np.random.RandomState(SEED)
-    sd = build_full_sd(rng, arch)
+    if args.checkpoint:
+        # real reference weights: production score threshold, torch tensors
+        # keyed exactly like build_full_sd's synthetic tree
+        import torch
+
+        arch = OracleArch(score_thr=0.35)
+        raw = torch.load(args.checkpoint, map_location="cpu")
+        raw = raw.get("state_dict", raw)
+        # the lite variant stores its single mask head as ModuleList entry 0;
+        # the oracle indexes it without the stage prefix
+        sd = {k.replace("mask_head.0.", "mask_head."): v.float()
+              for k, v in raw.items() if v.dtype.is_floating_point}
+    else:
+        sd = build_full_sd(np.random.RandomState(SEED), arch)
     imgs_prep = [np.asarray(preprocess_test_image(im, arch.scale)) for im in imgs]
 
     # params via the reference key mapping (the real-checkpoint path)
     import jax
 
-    model = build_model(jnp.float32, exact=True)
+    model = build_model(jnp.float32, exact=True, score_thr=arch.score_thr)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3), jnp.float32),
                           method="init_forward")
-    params = apply_sd(sd, template)
+    if args.checkpoint:
+        # the production converter tolerates real-checkpoint extras
+        # (buffers, bn counters) that apply_sd's strict mapping rejects
+        from nuhtc_tpu.utils.checkpoint import load_torch_checkpoint
+
+        params, info = load_torch_checkpoint(args.checkpoint, template)
+        if info.get("unmatched_torch"):
+            print(f"# {len(info['unmatched_torch'])} torch keys unmatched")
+    else:
+        params = apply_sd(sd, template)
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     goldens = {}
@@ -187,7 +213,8 @@ def main():
             goldens[name]["mask_probs"] = goldens[name]["mask_probs"].astype(np.float32)
 
     print("jax f32/HIGHEST exact ...", flush=True)
-    got_f32 = run_jax(params, imgs_prep, jnp.float32, exact=True)
+    got_f32 = run_jax(params, imgs_prep, jnp.float32, exact=True,
+                      score_thr=arch.score_thr)
     rows_f32 = []
     for name, got in zip(names, got_f32):
         st = compare_one(got, goldens[name])
@@ -197,7 +224,8 @@ def main():
     rows_bf16 = []
     if not args.skip_bf16:
         print("jax bf16 production path ...", flush=True)
-        got_bf16 = run_jax(params, imgs_prep, jnp.bfloat16, exact=False)
+        got_bf16 = run_jax(params, imgs_prep, jnp.bfloat16, exact=False,
+                           score_thr=arch.score_thr)
         for name, got in zip(names, got_bf16):
             st = compare_one(got, goldens[name])
             rows_bf16.append((name, st))
