@@ -162,3 +162,57 @@ def test_uneven_final_eval_batch(tiny_setup):
     for k, v in det.items():
         assert v.shape[0] == 8, k
         assert np.isfinite(np.asarray(v, np.float64)).all(), k
+
+
+def test_gspmd_2d_mesh_matches_single_device(tiny_setup):
+    """2-D (data x model) mesh with GSPMD weight sharding
+    (parallel/shard_rules.py): large params + AdamW moments sharded on
+    'model', batch on 'data' — XLA partitions or gathers per op; numerics
+    must match the single-device step up to reduction order."""
+    from nuhtc_tpu.parallel.shard_rules import (
+        make_mesh_2d, shard_state, tree_shardings,
+    )
+
+    model, state, train_step = tiny_setup
+    batch = _batch(seed=5)
+    key = jax.random.PRNGKey(2)
+
+    single = jax.jit(train_step)
+    s_state, s_metrics = single(state, jax.tree.map(jnp.asarray, batch), key)
+
+    mesh = make_mesh_2d(4, 2)
+    state_sh = tree_shardings(state, mesh)
+    # the rule must actually shard something (fc kernels are > min_elems)
+    n_sharded = sum(1 for s in jax.tree.leaves(tree_shardings(state.params, mesh))
+                    if s.spec != P())
+    assert n_sharded > 0
+    step2d = jax.jit(
+        train_step,
+        in_shardings=(state_sh, NamedSharding(mesh, P("data")),
+                      NamedSharding(mesh, P())),
+        out_shardings=(state_sh, NamedSharding(mesh, P())),
+    )
+    m_state, m_metrics = step2d(
+        shard_state(state, mesh),
+        jax.tree.map(lambda x: jax.device_put(np.asarray(x),
+                                              NamedSharding(mesh, P("data"))),
+                     batch),
+        jax.device_put(np.asarray(key), NamedSharding(mesh, P())),
+    )
+
+    for k in s_metrics:
+        np.testing.assert_allclose(
+            np.asarray(s_metrics[k]), np.asarray(m_metrics[k]), rtol=1e-3,
+            atol=1e-5, err_msg=f"metric {k}",
+        )
+    flat_s = jax.tree_util.tree_leaves_with_path(s_state.params)
+    flat_m = jax.tree_util.tree_leaves_with_path(m_state.params)
+    for (path_s, leaf_s), (_, leaf_m) in zip(flat_s, flat_m):
+        np.testing.assert_allclose(
+            np.asarray(leaf_s), np.asarray(leaf_m), rtol=5e-3, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path_s),
+        )
+    # a sharded leaf really lives distributed: its shards are strict subsets
+    big = [(p, l) for p, l in jax.tree_util.tree_leaves_with_path(m_state.params)
+           if l.size >= 65536]
+    assert any(s.data.size < l.size for _, l in big for s in l.addressable_shards)
