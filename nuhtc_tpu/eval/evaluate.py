@@ -95,6 +95,41 @@ def update_confusion_matrix(cm, iou, gt_labels, pred_labels, tp_iou_thr=0.5):
             cm[gt_label, -1] += 1
 
 
+def _save_outputs(dataset, idx, rles, labels, scores, num_classes,
+                  save, save_path, data_format, overlay, overlay_score_thr,
+                  pred_array):
+    """Converted-prediction / overlay artifacts for one image (shared by the
+    metric and --format-only paths)."""
+    if not (save or overlay):
+        return
+    info = dataset.img_info(idx)
+    if save:
+        pm = convert_format(rles, labels, info["height"], info["width"], num_classes, data_format)
+        base = os.path.splitext(info["file_name"])[0]
+        if data_format == "consep":
+            from scipy import io as sio
+
+            sio.savemat(f"{save_path}/{base}.mat", pm)
+        else:
+            np.save(f"{save_path}/{base}.npy", pm)
+            pred_array.append(pm)
+    if overlay:
+        import cv2
+
+        from nuhtc_tpu.utils.visualize import draw_detections
+
+        img = dataset.load_image(idx)
+        keep = [i for i, s in enumerate(scores) if s >= overlay_score_thr]
+        masks = [rle_ops.decode(rles[i]) for i in keep]
+        ov = draw_detections(img, masks, [labels[i] for i in keep],
+                             palette=dataset.PALETTE)
+        os.makedirs(f"{save_path}/overlay", exist_ok=True)
+        base = os.path.splitext(info["file_name"])[0]
+        cv2.imwrite(
+            f"{save_path}/overlay/{base}_overlay.png", cv2.cvtColor(ov, cv2.COLOR_RGB2BGR)
+        )
+
+
 def evaluate_dataset(
     dataset,
     results: Sequence,  # per image: (bbox_results [C×(n,5+)], segm [C×[rle…]])
@@ -104,6 +139,8 @@ def evaluate_dataset(
     save_path: str = "infer",
     data_format: str = "conic",
     overlay: bool = False,
+    overlay_score_thr: float = 0.0,  # extra threshold for drawn instances only
+    format_only: bool = False,  # write converted preds/overlays, skip metrics
     logger=None,
 ) -> "OrderedDict[str, float]":
     num_classes = len(dataset.CLASSES)
@@ -137,6 +174,15 @@ def evaluate_dataset(
         if len(rles):
             rles, keep_idx = mask_nms(rles, scores, thr=nms_thr)
             labels = labels[keep_idx]
+            scores = scores[keep_idx]
+
+        if format_only:
+            # reference --format-only: emit the converted predictions without
+            # touching annotations or computing any metric
+            _save_outputs(dataset, idx, rles, labels, scores, num_classes,
+                          save, save_path, data_format, overlay,
+                          overlay_score_thr, pred_array)
+            continue
 
         ann = dataset.get_ann_info(idx)
         gt_rles = ann["masks"]
@@ -171,31 +217,14 @@ def evaluate_dataset(
             for l in gt_labels:
                 confusion[l, -1] += 1
 
-        if save or overlay:
-            info = dataset.img_info(idx)
-            if save:
-                pm = convert_format(rles, labels, info["height"], info["width"], num_classes, data_format)
-                base = os.path.splitext(info["file_name"])[0]
-                if data_format == "consep":
-                    from scipy import io as sio
+        _save_outputs(dataset, idx, rles, labels, scores, num_classes,
+                      save, save_path, data_format, overlay, overlay_score_thr,
+                      pred_array)
 
-                    sio.savemat(f"{save_path}/{base}.mat", pm)
-                else:
-                    np.save(f"{save_path}/{base}.npy", pm)
-                    pred_array.append(pm)
-            if overlay:
-                import cv2
-
-                from nuhtc_tpu.utils.visualize import draw_detections
-
-                img = dataset.load_image(idx)
-                masks = [rle_ops.decode(r) for r in rles]
-                ov = draw_detections(img, masks, labels, palette=dataset.PALETTE)
-                os.makedirs(f"{save_path}/overlay", exist_ok=True)
-                base = os.path.splitext(info["file_name"])[0]
-                cv2.imwrite(
-                    f"{save_path}/overlay/{base}_overlay.png", cv2.cvtColor(ov, cv2.COLOR_RGB2BGR)
-                )
+    if format_only:
+        if save and data_format != "consep" and pred_array:
+            np.save(f"{save_path}/preds_{data_format}.npy", np.asarray(pred_array))
+        return OrderedDict()
 
     eval_results = OrderedDict()
     for k, v in stat_res.items():

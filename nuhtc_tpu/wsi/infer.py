@@ -160,14 +160,19 @@ def infer_slide(
     slide_id: str,
     classes: Sequence[str],
     patch_size: int = 256,
+    patch_level: int = 0,
     mode: str = "qupath",
     margin: int = 0,
     min_area: int = 10,
+    score_thr: float = 0.0,
+    det_dir: Optional[str] = None,  # save per-tile overlays (reference --det)
     num_read_threads: int = 2,
     progress: bool = True,
 ) -> Dict[str, float]:
     """Run the full per-slide loop; returns timing/throughput stats."""
-    cfg = TilePostprocessConfig(margin=margin, min_area=min_area)
+    cfg = TilePostprocessConfig(margin=margin, min_area=min_area, score_thr=score_thr)
+    if det_dir:
+        os.makedirs(det_dir, exist_ok=True)
     exporter = NucleiExporter(slide_id, out_dir, classes, mode=mode)
     t0 = time.perf_counter()
     n_tiles = len(coords)
@@ -191,6 +196,21 @@ def infer_slide(
                     tile=tile if coco_mode else None,
                 )
                 n_nuclei += len(conts)
+            if det_dir and conts:
+                # reference --det: per-tile detection overlay jpg named by the
+                # tile's level-0 coord (tools/infer_wsi.py:500-510)
+                from nuhtc_tpu.utils.visualize import DEFAULT_PALETTE
+
+                ov = np.ascontiguousarray(tile)
+                for cont, lab in zip(conts, labels):
+                    color = DEFAULT_PALETTE[int(lab) % len(DEFAULT_PALETTE)]
+                    cv2.drawContours(
+                        ov, [np.asarray(cont - np.asarray(coord), np.int32)], -1, color, 1
+                    )
+                cv2.imwrite(
+                    os.path.join(det_dir, f"img_{int(coord[0])}_{int(coord[1])}.jpg"),
+                    cv2.cvtColor(ov, cv2.COLOR_RGB2BGR),
+                )
             annidx += 1
         if progress:
             dt = time.perf_counter() - t0
@@ -205,7 +225,8 @@ def infer_slide(
     # (reference stage B serializes these per batch — SURVEY.md §3.3)
     pending = None
     for tiles, batch_coords in tile_stream(
-        slide, coords, patch_size, batch_size=engine.batch_size, num_threads=num_read_threads
+        slide, coords, patch_size, patch_level=patch_level,
+        batch_size=engine.batch_size, num_threads=num_read_threads,
     ):
         handle = engine.dispatch(tiles)
         if pending is not None:

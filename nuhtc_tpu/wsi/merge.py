@@ -143,11 +143,21 @@ def merge_geojson_file(
     overlap_threshold: float = 0.05,
     merge_strategy: str = "probability",
     out_path: str | None = None,
+    uniform_classification: bool = False,
 ) -> str:
     with open(geojson_path) as f:
         data = json.load(f)
     feats = data["features"] if isinstance(data, dict) else data
     merged = merge_features(feats, overlap_threshold, merge_strategy)
+    for idx, feat in enumerate(merged):
+        props = feat.setdefault("properties", {})
+        props["nuclei_id"] = idx
+        if uniform_classification:
+            # reference --uniform_classification: one class, yellow
+            # (tools/nuclei_merge.py:208-210)
+            props.setdefault("classification", {})
+            props["classification"]["name"] = "uniform"
+            props["classification"]["color"] = [255, 255, 0]
     if out_path is None:
         base, ext = os.path.splitext(geojson_path)
         out_path = f"{base}_merged{ext}"

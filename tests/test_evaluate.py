@@ -137,3 +137,33 @@ def test_convert_format_pannuke(tiny_coco):
     assert out2.shape == (64, 64, 2)
     assert out2[10, 10, 0] == 1 and out2[40, 40, 0] == 2
     assert out2[40, 40, 1] == 3  # label + 1
+
+
+def test_evaluate_format_only(tiny_coco, tmp_path):
+    """--format-only writes converted predictions (and the aggregate npy)
+    without computing metrics (reference tools/test.py --format-only)."""
+    from nuhtc_tpu.data import PanNukeCocoDataset
+
+    ann_path, img_dir, gt = tiny_coco
+    ds = PanNukeCocoDataset(ann_path, img_prefix=img_dir, test_mode=True)
+    results = []
+    for idx in range(len(ds)):
+        ann = ds.get_ann_info(idx)
+        bboxes = [np.zeros((0, 5), np.float32) for _ in range(5)]
+        segms = [[] for _ in range(5)]
+        for rle, lab, bb in zip(ann["masks"], ann["labels"], ann["bboxes"]):
+            arr = np.concatenate([bb, [0.99]]).astype(np.float32)[None]
+            bboxes[lab] = np.concatenate([bboxes[lab], arr])
+            segms[lab].append(rle)
+        results.append((bboxes, segms))
+    out = str(tmp_path / "fmt")
+    metrics = evaluate_dataset(
+        ds, results, save=True, save_path=out, data_format="pannuke",
+        format_only=True,
+    )
+    assert metrics == {}
+    pred_dir = os.path.join(out, "PanNukeCocoDataset")
+    per_img = [f for f in os.listdir(pred_dir) if f.startswith("im")]
+    assert len(per_img) == 3
+    agg = np.load(os.path.join(pred_dir, "preds_pannuke.npy"))
+    assert agg.shape[0] == 3

@@ -149,3 +149,51 @@ def test_nucleus_features_extended_columns():
     assert f["fsd1"] > 0.5
     # circle-ish ellipse: fractal dimension of a smooth boundary ≈ 1
     assert 0.7 < f["fractal_dimension"] < 1.6
+
+
+def test_merge_geojson_uniform_classification(tmp_path):
+    from nuhtc_tpu.wsi.merge import merge_geojson_file
+
+    feats = [
+        _circle_feature(50, 50, 10, 0.9),
+        _circle_feature(52, 50, 10, 0.8),
+        _circle_feature(150, 150, 10, 0.7, label=2),
+    ]
+    src = tmp_path / "s.geojson"
+    with open(src, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    out = merge_geojson_file(str(src), 0.05, "probability",
+                             str(tmp_path / "u.geojson"),
+                             uniform_classification=True)
+    with open(out) as f:
+        merged = json.load(f)["features"]
+    assert len(merged) == 2
+    for i, feat in enumerate(merged):
+        props = feat["properties"]
+        assert props["nuclei_id"] == i  # reference nuclei_merge.py:201
+        assert props["classification"]["name"] == "uniform"
+        assert props["classification"]["color"] == [255, 255, 0]
+
+
+def test_feat_extract_threaded_matches_serial(fake_slide, tmp_path):
+    """tools/wsi_feat_extract --num_workers N must be value-identical to the
+    serial path (reference DataLoader analog)."""
+    import pandas as pd
+
+    import tools.wsi_feat_extract as fx
+
+    feats = [
+        _circle_feature(700, 500, 30, 0.9, label=1),
+        _circle_feature(600, 450, 22, 0.8, label=0),
+        _circle_feature(800, 560, 26, 0.7, label=2),
+    ]
+    gj = tmp_path / "s.geojson"
+    with open(gj, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    csv1 = str(tmp_path / "serial.csv")
+    csv2 = str(tmp_path / "threaded.csv")
+    n1 = fx.extract_slide_features(fake_slide, str(gj), csv1, num_workers=1)
+    n2 = fx.extract_slide_features(fake_slide, str(gj), csv2, num_workers=4, bs_size=2)
+    assert n1 == n2 == 3
+    d1, d2 = pd.read_csv(csv1), pd.read_csv(csv2)
+    pd.testing.assert_frame_equal(d1, d2)

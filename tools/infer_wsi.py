@@ -34,13 +34,30 @@ def main():
     ap.add_argument("--no_auto_skip", action="store_true")
     ap.add_argument("--save_dir", default="results")
     ap.add_argument("--mag", type=int, default=40)
+    ap.add_argument("--patch_level", type=int, default=0,
+                    help="pyramid level to read tiles at (reference --patch_level)")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--num_workers", type=int, default=2)
     ap.add_argument("--margin", type=int, default=0)
     ap.add_argument("--min_area", type=int, default=10)
+    ap.add_argument("--score-thr", type=float, default=0.0, dest="score_thr",
+                    help="drop detections below this score before export "
+                    "(reference --score-thr; its 0.35 applies to --det overlays "
+                    "only — export there is unthresholded, so default 0)")
     ap.add_argument("--slide_ext", default=".svs")
     ap.add_argument("--mode", default="qupath", choices=["qupath", "dsa", "coco", "sql", "all"])
     ap.add_argument("--use_otsu", action="store_true")
+    ap.add_argument("--det", action="store_true",
+                    help="save per-tile detection-overlay jpgs under "
+                    "nuclei/<slide>/infer/ (reference --det)")
+    ap.add_argument("--preset", default=None,
+                    help="CSV of seg/filter/patch parameter overrides "
+                    "(reference --preset: columns sthresh/mthresh/close/use_otsu/"
+                    "a_t/a_h/max_n_holes/use_padding; first row applies)")
+    ap.add_argument("--process_list", default=None,
+                    help="CSV with a slide_id column (+ optional process flag and "
+                    "per-slide seg params) restricting/refining the run "
+                    "(reference --process_list)")
     ap.add_argument("--shard", default=None, metavar="I/N",
                     help="process slide subset i of n (multi-host scale-out: "
                     "slides are embarrassingly parallel — launch one process "
@@ -67,9 +84,33 @@ def main():
     scale_factor = 80.0 / args.mag
     classes = DATASETS.get(cfg.get("dataset", "PanNukeCocoDataset")).CLASSES
 
+    # seg/filter/patch params: built-in defaults ← --preset CSV ← per-slide
+    # process_list columns (reference precedence, tools/infer_wsi.py:133-159,392-404)
+    seg_keys = ("sthresh", "mthresh", "close", "use_otsu", "a_t", "a_h", "max_n_holes")
+    base_seg = dict(use_otsu=args.use_otsu)
+    base_patch = {}
+    if args.preset:
+        row = pd.read_csv(args.preset).iloc[0]
+        base_seg.update({k: row[k] for k in seg_keys if k in row.index})
+        if "use_padding" in row.index:
+            base_patch["use_padding"] = bool(row["use_padding"])
+
     slides = sorted(
         f for f in os.listdir(args.source) if os.path.isfile(os.path.join(args.source, f))
     )
+    per_slide: dict = {}
+    if args.process_list:
+        df = pd.read_csv(args.process_list)
+        if "process" in df.columns:
+            df = df[df["process"] == 1]
+        listed = []
+        for _, r in df.iterrows():
+            sid = str(r["slide_id"])
+            matches = [s for s in slides if s == sid or os.path.splitext(s)[0] == sid]
+            for s in matches:
+                listed.append(s)
+                per_slide[s] = {k: r[k] for k in seg_keys if k in df.columns and not pd.isna(r[k])}
+        slides = listed
     if args.shard:
         i, n = (int(x) for x in args.shard.split("/"))
         assert 0 <= i < n, args.shard
@@ -88,7 +129,9 @@ def main():
             continue
         slide = open_slide(os.path.join(args.source, slide_name))
         t0 = time.time()
-        seg = segment_tissue(slide, use_otsu=args.use_otsu)
+        seg_kw = {**base_seg, **per_slide.get(slide_name, {})}
+        seg_kw["use_otsu"] = bool(seg_kw.get("use_otsu", False))
+        seg = segment_tissue(slide, **seg_kw)
         seg_t = time.time() - t0
         if args.seg:
             vis = vis_tissue_mask(slide, seg)
@@ -97,13 +140,14 @@ def main():
                 cv2.cvtColor(vis, cv2.COLOR_RGB2BGR),
             )
         t0 = time.time()
-        coords = grid_coords(slide, seg, args.patch_size, args.step_size)
+        coords = grid_coords(slide, seg, args.patch_size, args.step_size,
+                             patch_level=args.patch_level, **base_patch)
         patch_t = time.time() - t0
         if args.patch:
             save_coords_h5(
                 h5_path, coords,
                 attrs=dict(patch_size=args.patch_size, step_size=args.step_size,
-                           patch_level=0, name=slide_id),
+                           patch_level=args.patch_level, name=slide_id),
             )
         stitch_t = 0.0
         if args.stitch and len(coords):
@@ -151,8 +195,10 @@ def main():
         slide = open_slide(os.path.join(args.source, slide_name))
         stats = infer_slide(
             engine, slide, coords, nuclei_dir, slide_id, classes,
-            patch_size=args.patch_size, mode=args.mode,
-            margin=args.margin, min_area=args.min_area,
+            patch_size=args.patch_size, patch_level=args.patch_level,
+            mode=args.mode, margin=args.margin, min_area=args.min_area,
+            score_thr=args.score_thr,
+            det_dir=os.path.join(nuclei_dir, "infer") if args.det else None,
             num_read_threads=args.num_workers,
         )
         print(f"{slide_id}: {stats}")

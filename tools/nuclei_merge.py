@@ -21,12 +21,23 @@ def main():
     ap.add_argument("--overlap_threshold", type=float, default=0.05)
     ap.add_argument("--merge_strategy", default="probability", choices=["probability", "area"])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--output_name", default=None,
+                    help="output file name (written next to the input as "
+                    "<name>.geojson — reference --output_name)")
+    ap.add_argument("--uniform_classification", action="store_true",
+                    help="relabel every merged cell as one 'uniform' class, "
+                    "yellow (reference --uniform_classification)")
     args = ap.parse_args()
 
     from nuhtc_tpu.wsi.merge import merge_geojson_file
 
+    out_path = args.out
+    if args.output_name and not out_path:
+        out_path = os.path.join(os.path.dirname(args.geojson), args.output_name + ".geojson")
+
     t0 = time.time()
-    out = merge_geojson_file(args.geojson, args.overlap_threshold, args.merge_strategy, args.out)
+    out = merge_geojson_file(args.geojson, args.overlap_threshold, args.merge_strategy,
+                             out_path, uniform_classification=args.uniform_classification)
     print(f"merged → {out} ({time.time() - t0:.1f}s)")
 
 

@@ -41,7 +41,20 @@ def main():
     ap.add_argument("checkpoint", nargs="?", default=None)
     ap.add_argument("--eval", nargs="+", default=["segm"])
     ap.add_argument("--eval-options", nargs="+", default=None)
-    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--cfg-options", nargs="+", default=None,
+                    help="config overrides, key=value with dotted keys "
+                    "(reference --cfg-options)")
+    ap.add_argument("--work-dir", default=None,
+                    help="directory for the metrics json/log (reference --work-dir)")
+    ap.add_argument("--format-only", action="store_true",
+                    help="write converted predictions without evaluating "
+                    "(reference --format-only)")
+    ap.add_argument("--show-dir", default=None,
+                    help="save prediction overlays here (reference --show-dir)")
+    ap.add_argument("--show-score-thr", type=float, default=0.3,
+                    help="score threshold for drawn instances (reference)")
+    ap.add_argument("--batch-size", "--samples_per_gpu", type=int, default=16,
+                    dest="batch_size")
     ap.add_argument("--limit", type=int, default=0, help="evaluate only the first N images")
     ap.add_argument("--out-json", default=None)
     ap.add_argument("--out", default=None, help="pickle the raw per-image results")
@@ -69,6 +82,8 @@ def main():
         pid = jax.process_index()
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
     dataset = build_dataset({**cfg.data.test, "test_mode": True})
     engine = init_detector(cfg, args.checkpoint, batch_size=args.batch_size)
 
@@ -116,17 +131,24 @@ def main():
     metrics = evaluate_dataset(
         dataset if not args.limit else _SlicedDataset(dataset, n),
         results,
-        save=eval_opts.get("save", False),
-        save_path=eval_opts.get("save_path", "infer"),
+        save=eval_opts.get("save", False) or args.format_only,
+        save_path=args.show_dir or eval_opts.get("save_path", "infer"),
         data_format=eval_opts.get("format", "conic"),
-        overlay=eval_opts.get("overlay", False),
+        overlay=eval_opts.get("overlay", False) or bool(args.show_dir),
+        overlay_score_thr=args.show_score_thr if args.show_dir else 0.0,
+        format_only=args.format_only,
     )
     for k, v in metrics.items():
         if k != "confusion_matrix":
             print(f"{k}: {v:.4f}")
-    if args.out_json:
-        with open(args.out_json, "w") as f:
+    out_json = args.out_json
+    if args.work_dir and not out_json:
+        os.makedirs(args.work_dir, exist_ok=True)
+        out_json = os.path.join(args.work_dir, "eval_metrics.json")
+    if out_json and metrics:
+        with open(out_json, "w") as f:
             json.dump({k: v for k, v in metrics.items()}, f, indent=2)
+        print(f"metrics → {out_json}")
 
 
 class _SlicedDataset:

@@ -23,6 +23,13 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--iters-per-epoch", type=int, default=None)
     ap.add_argument("--cfg-options", nargs="+", default=None)
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip periodic evaluation during training "
+                    "(reference --no-validate)")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="bit-reproducible runs: single-threaded host RNG "
+                    "seeding + deterministic XLA reductions "
+                    "(reference --deterministic)")
     ap.add_argument(
         "--launcher", choices=["none", "jax"], default="none",
         help="'jax' = multi-host DDP: jax.distributed.initialize before mesh "
@@ -30,6 +37,19 @@ def main():
              "mmcv init_dist, tools/train.py:136)",
     )
     args = ap.parse_args()
+
+    if args.deterministic:
+        # must be set before jax initializes: deterministic XLA op lowering
+        # (reductions/scatters); host-side loaders are already seeded-stateless
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_gpu_deterministic_ops=true"
+        ).strip()
+        import random
+
+        random.seed(args.seed)
+        import numpy as np
+
+        np.random.seed(args.seed)
 
     if args.launcher == "jax":
         from nuhtc_tpu.parallel.mesh import init_distributed
@@ -115,7 +135,8 @@ def main():
         eval_interval=cfg.get("evaluation", {}).get("interval", 10),
         seed=args.seed,
     )
-    trainer.run(loader, test_ds, resume_from=args.resume_from)
+    trainer.run(loader, None if args.no_validate else test_ds,
+                resume_from=args.resume_from)
 
 
 if __name__ == "__main__":

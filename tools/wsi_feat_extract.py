@@ -20,7 +20,8 @@ import numpy as np
 
 
 def extract_slide_features(slide_path: str, geojson_path: str, out_csv: str,
-                           mag: int = 40, pad: int = 5, sql: bool = False):
+                           mag: int = 40, pad: int = 5, sql: bool = False,
+                           num_workers: int = 1, bs_size: int = 1024):
     import cv2
     import pandas as pd
 
@@ -33,15 +34,15 @@ def extract_slide_features(slide_path: str, geojson_path: str, out_csv: str,
         data = json.load(f)
     feats_json = data["features"] if isinstance(data, dict) else data
 
-    rows = []
-    for fi, feat in enumerate(feats_json):
+    def one(fi_feat):
+        fi, feat = fi_feat
         poly = polygon_of_feature(feat)
         x1, y1 = np.floor(poly.min(0)).astype(int) - pad
         x2, y2 = np.ceil(poly.max(0)).astype(int) + pad
         x1, y1 = max(x1, 0), max(y1, 0)
         w, h = x2 - x1, y2 - y1
         if w <= 0 or h <= 0 or w * h > 4_000_000:
-            continue
+            return None
         crop = slide.read_region((int(x1), int(y1)), 0, (int(w), int(h)))
         local = poly - [x1, y1]
         if mag != 40:
@@ -57,13 +58,30 @@ def extract_slide_features(slide_path: str, geojson_path: str, out_csv: str,
         cv2.fillPoly(mask, [np.round(local).astype(np.int32)], 1)
         row = nucleus_features(crop, mask, offset=(x1, y1))
         if row is None:
-            continue
+            return None
         props = feat.get("properties", {})
         row["label"] = props.get("label", -1)
         row["class"] = props.get("classification", {}).get("name", "")
         row["score"] = props.get("score", 0.0)
         row["nucleus_id"] = fi
-        rows.append(row)
+        return row
+
+    rows = []
+    if num_workers > 1:
+        # region reads are I/O-bound — thread-pool them in bs_size batches
+        # (the reference's DataLoader(num_workers)/bs_size analog,
+        # tools/wsi_feat_extract.py:191-202); batch order keeps output
+        # deterministic
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            items = list(enumerate(feats_json))
+            for b0 in range(0, len(items), bs_size):
+                rows.extend(
+                    r for r in pool.map(one, items[b0 : b0 + bs_size]) if r is not None
+                )
+    else:
+        rows = [r for r in map(one, enumerate(feats_json)) if r is not None]
     df = pd.DataFrame(rows)
     df.to_csv(out_csv, index=False)
     if sql:
@@ -82,11 +100,24 @@ def main():
     ap.add_argument("--mag", type=int, default=40)
     ap.add_argument("--sql", action="store_true")
     ap.add_argument("--slide_ext", default=".svs")
+    ap.add_argument("--start", type=int, default=0,
+                    help="first slide index to process (reference --start)")
+    ap.add_argument("--end", type=int, default=None,
+                    help="one-past-last slide index (reference --end)")
+    ap.add_argument("--reverse", action="store_true",
+                    help="process slides in reverse order (reference --reverse)")
+    ap.add_argument("--bs_size", type=int, default=1024,
+                    help="nuclei per worker batch (reference --bs_size)")
+    ap.add_argument("--num_workers", type=int, default=1,
+                    help="crop-read threads (reference --num_workers)")
     args = ap.parse_args()
 
     slides = sorted(
         f for f in os.listdir(args.source) if os.path.isfile(os.path.join(args.source, f))
     )
+    slides = slides[args.start : args.end]
+    if args.reverse:
+        slides = slides[::-1]
     for slide_name in slides:
         slide_id = os.path.splitext(slide_name)[0]
         nd = os.path.join(args.segdir, "nuclei", slide_id)
@@ -98,7 +129,8 @@ def main():
             continue
         out_csv = os.path.join(nd, f"{slide_id}_features.csv")
         n = extract_slide_features(
-            os.path.join(args.source, slide_name), gj, out_csv, args.mag, sql=args.sql
+            os.path.join(args.source, slide_name), gj, out_csv, args.mag, sql=args.sql,
+            num_workers=args.num_workers, bs_size=args.bs_size,
         )
         print(f"{slide_id}: {n} nuclei → {out_csv}")
 
