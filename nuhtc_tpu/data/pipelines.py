@@ -368,6 +368,96 @@ def _corrupt_saturate(img, sev, rng):
     return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
 
 
+def _corrupt_speckle_noise(img, sev, rng):
+    # multiplicative gaussian noise (imagecorruptions speckle_noise)
+    f = img.astype(np.float32)
+    return np.clip(f + f * rng.randn(*img.shape) * (0.06 + 0.04 * sev), 0, 255)
+
+
+def _corrupt_glass_blur(img, sev, rng):
+    # local pixel shuffling then a light blur (imagecorruptions glass_blur)
+    out = cv2.GaussianBlur(img, (0, 0), 0.3 + 0.2 * sev)
+    h, w = out.shape[:2]
+    d = sev  # max displacement
+    for _ in range(2):
+        dx = rng.randint(-d, d + 1, (h, w))
+        dy = rng.randint(-d, d + 1, (h, w))
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        sx = np.clip(xx + dx, 0, w - 1)
+        sy = np.clip(yy + dy, 0, h - 1)
+        out = out[sy, sx]
+    return cv2.GaussianBlur(out, (0, 0), 0.3 + 0.2 * sev)
+
+
+def _plasma(h, w, rng, roughness=0.8):
+    """Diamond-square-style fractal cloud in [0,1] (fog/frost base)."""
+    size = 1
+    while size < max(h, w):
+        size *= 2
+    grid = rng.rand(2, 2).astype(np.float32)
+    scale = 1.0
+    while grid.shape[0] < size + 1:
+        n = (grid.shape[0] - 1) * 2 + 1
+        up = cv2.resize(grid, (n, n), interpolation=cv2.INTER_LINEAR)
+        scale *= roughness
+        grid = up + (rng.rand(n, n).astype(np.float32) - 0.5) * scale
+    g = grid[:h, :w]
+    g -= g.min()
+    return g / max(g.max(), 1e-6)
+
+
+def _corrupt_fog(img, sev, rng):
+    h, w = img.shape[:2]
+    fog = _plasma(h, w, rng)[..., None]
+    amount = 0.12 * sev
+    f = img.astype(np.float32) / 255.0
+    out = f * (1 - amount * fog) + amount * fog * 0.9
+    return np.clip(out * 255.0, 0, 255)
+
+
+def _corrupt_frost(img, sev, rng):
+    # procedural crystalline overlay: thresholded sharpened plasma texture
+    # (imagecorruptions composites shipped frost photographs; this framework
+    # has no asset files, so the texture is synthesized)
+    h, w = img.shape[:2]
+    tex = _plasma(h, w, rng, roughness=0.9)
+    crystal = np.clip((tex - 0.55) * 4.0, 0, 1)[..., None]
+    amount = 0.1 + 0.08 * sev
+    f = img.astype(np.float32) / 255.0
+    out = f * (1 - amount * crystal) + amount * crystal * np.array([0.9, 0.95, 1.0])
+    return np.clip(out * 255.0, 0, 255)
+
+
+def _corrupt_snow(img, sev, rng):
+    # sparse bright specks, motion-blurred into flakes, plus a whitening veil
+    h, w = img.shape[:2]
+    layer = (rng.rand(h, w) < 0.002 * sev).astype(np.float32)
+    n = 2 * sev + 5
+    k = np.zeros((n, n), np.float32)
+    k[:, n // 2] = 1.0
+    rot = cv2.getRotationMatrix2D((n / 2 - 0.5, n / 2 - 0.5), rng.uniform(-30, 30), 1.0)
+    k = cv2.warpAffine(k, rot, (n, n))
+    k /= max(k.sum(), 1e-6)
+    flakes = np.clip(cv2.filter2D(layer, -1, k) * n * 0.8, 0, 1)[..., None]
+    f = img.astype(np.float32) / 255.0
+    veil = 0.04 * sev
+    out = (f * (1 - veil) + veil) * (1 - flakes) + flakes
+    return np.clip(out * 255.0, 0, 255)
+
+
+def _corrupt_spatter(img, sev, rng):
+    # liquid blobs: blurred noise thresholded into droplets (imagecorruptions
+    # spatter's water mode), darkening where they land
+    h, w = img.shape[:2]
+    liquid = cv2.GaussianBlur(rng.rand(h, w).astype(np.float32), (0, 0), 3.0)
+    thr = 1.0 - 0.04 * sev - 0.62
+    m = np.clip((liquid - thr) * 8.0, 0, 1)[..., None]
+    f = img.astype(np.float32) / 255.0
+    tint = f * np.array([0.75, 0.85, 0.95])
+    out = f * (1 - 0.6 * m) + tint * (0.6 * m)
+    return np.clip(out * 255.0, 0, 255)
+
+
 def _corrupt_elastic(img, sev, rng):
     h, w = img.shape[:2]
     alpha = 2.0 * sev
@@ -377,17 +467,24 @@ def _corrupt_elastic(img, sev, rng):
     return cv2.remap(img, xx + dx, yy + dy, cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
 
 
-# name → fn, mirroring the imagecorruptions catalog where cv2/numpy allows
-# (reference rand_aug.py:979 + test_robustness; snow/frost/fog/glass_blur
-# need external texture assets and are intentionally absent)
+# name → fn, the full 19-type imagecorruptions catalog (reference
+# rand_aug.py:979 + test_robustness). frost synthesizes its crystalline
+# texture procedurally (the upstream package ships photographs; no asset
+# files in this framework).
 CORRUPTIONS = {
     "gaussian_noise": _corrupt_gaussian_noise,
     "shot_noise": _corrupt_shot_noise,
     "impulse_noise": _corrupt_impulse_noise,
+    "speckle_noise": _corrupt_speckle_noise,
     "gaussian_blur": _corrupt_gaussian_blur,
+    "glass_blur": _corrupt_glass_blur,
     "defocus_blur": _corrupt_defocus_blur,
     "motion_blur": _corrupt_motion_blur,
     "zoom_blur": _corrupt_zoom_blur,
+    "snow": _corrupt_snow,
+    "frost": _corrupt_frost,
+    "fog": _corrupt_fog,
+    "spatter": _corrupt_spatter,
     "jpeg_compression": _corrupt_jpeg,
     "pixelate": _corrupt_pixelate,
     "brightness": _corrupt_brightness,
@@ -395,6 +492,21 @@ CORRUPTIONS = {
     "saturate": _corrupt_saturate,
     "elastic_transform": _corrupt_elastic,
 }
+
+# reference test_robustness.py corruption groups (:99-110 choices +
+# mmdet's get_corruption lists)
+CORRUPTION_GROUPS = {
+    "noise": ["gaussian_noise", "shot_noise", "impulse_noise"],
+    "blur": ["defocus_blur", "glass_blur", "motion_blur", "zoom_blur"],
+    "weather": ["snow", "frost", "fog", "brightness"],
+    "digital": ["contrast", "elastic_transform", "pixelate", "jpeg_compression"],
+    "holdout": ["speckle_noise", "gaussian_blur", "spatter", "saturate"],
+}
+CORRUPTION_GROUPS["benchmark"] = (
+    CORRUPTION_GROUPS["noise"] + CORRUPTION_GROUPS["blur"]
+    + CORRUPTION_GROUPS["weather"] + CORRUPTION_GROUPS["digital"]
+)
+CORRUPTION_GROUPS["all"] = CORRUPTION_GROUPS["benchmark"] + CORRUPTION_GROUPS["holdout"]
 
 
 @PIPELINES.register()

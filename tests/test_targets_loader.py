@@ -163,19 +163,31 @@ def test_gather_objects_single_process():
 
 
 def test_corruption_catalog_and_posterize():
-    """All 13 corruption types produce valid images; RandPosterize reduces
-    bit depth (reference rand_aug.py:202, imagecorruptions catalog)."""
+    """The full 19-type imagecorruptions catalog produces valid images that
+    differ from the input at every severity; groups match the reference
+    test_robustness.py:99-110 lists; RandPosterize reduces bit depth
+    (reference rand_aug.py:202)."""
     import numpy as np
 
-    from nuhtc_tpu.data.pipelines import CORRUPTIONS, RandCorrupt, RandPosterize
+    from nuhtc_tpu.data.pipelines import (
+        CORRUPTION_GROUPS, CORRUPTIONS, RandCorrupt, RandPosterize,
+    )
 
     rng = np.random.RandomState(0)
     img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
-    assert len(CORRUPTIONS) == 13
+    assert len(CORRUPTIONS) == 19
     for name, fn in CORRUPTIONS.items():
-        out = np.clip(fn(img, 3, np.random.RandomState(1)), 0, 255)
-        assert out.shape == img.shape, name
-        assert np.isfinite(np.asarray(out, np.float32)).all(), name
+        for sev in (1, 3, 5):
+            out = np.clip(fn(img, sev, np.random.RandomState(1)), 0, 255)
+            assert out.shape == img.shape, name
+            assert np.isfinite(np.asarray(out, np.float32)).all(), name
+            assert np.abs(out.astype(float) - img).mean() > 0.05, (name, sev)
+
+    assert len(CORRUPTION_GROUPS["benchmark"]) == 15
+    assert len(CORRUPTION_GROUPS["all"]) == 19
+    assert set(CORRUPTION_GROUPS["all"]) == set(CORRUPTIONS)
+    assert CORRUPTION_GROUPS["holdout"] == [
+        "speckle_noise", "gaussian_blur", "spatter", "saturate"]
 
     res = dict(img=img.astype(np.float32))
     out = RandPosterize(prob=1.0)(dict(res), np.random.RandomState(5))

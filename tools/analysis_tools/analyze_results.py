@@ -76,6 +76,9 @@ def main():
     ap.add_argument("results", help="pickle from tools/test.py --out")
     ap.add_argument("show_dir")
     ap.add_argument("--topk", type=int, default=20)
+    ap.add_argument("--show-score-thr", type=float, default=0.0,
+                    help="score threshold for drawn detections (reference)")
+    ap.add_argument("--cfg-options", nargs="+", default=None)
     args = ap.parse_args()
 
     from nuhtc_tpu.config import Config
@@ -84,6 +87,8 @@ def main():
     from viz_utils import imshow_gt_det
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
     dataset = build_dataset({**cfg.data.test, "test_mode": True})
     with open(args.results, "rb") as f:
         results = pickle.load(f)
@@ -106,6 +111,8 @@ def main():
             det_masks, det_labels, det_scores = [], [], []
             for c, bb in enumerate(bboxes):
                 for k in range(len(bb)):
+                    if float(bb[k, 4]) < args.show_score_thr:
+                        continue
                     det_labels.append(c)
                     det_scores.append(float(bb[k, 4]))
                     if segms is not None and k < len(segms[c]):

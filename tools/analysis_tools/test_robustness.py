@@ -24,32 +24,57 @@ def _catalog():
     return C
 
 
-def corrupt(img: np.ndarray, kind: str, severity: int) -> np.ndarray:
+def corrupt(img: np.ndarray, kind: str, severity: int, seed: int | None = None) -> np.ndarray:
     cat = _catalog()
     if kind == "jpeg":  # legacy alias
         kind = "jpeg_compression"
     if kind not in cat:
         raise ValueError(f"{kind}; available: {sorted(cat)}")
-    out = cat[kind](img.astype(np.uint8), severity, np.random.RandomState(0))
+    out = cat[kind](img.astype(np.uint8), severity,
+                    np.random.RandomState(0 if seed is None else seed))
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-CORRUPTIONS = (
-    "gaussian_noise", "shot_noise", "impulse_noise", "gaussian_blur",
-    "defocus_blur", "motion_blur", "zoom_blur", "jpeg_compression",
-    "pixelate", "brightness", "contrast", "saturate", "elastic_transform",
-)
+def _expand_corruptions(names):
+    """Reference group aliases (test_robustness.py:99-110): 'benchmark'
+    (default), 'all', 'noise', 'blur', 'weather', 'digital', 'holdout',
+    'None', or explicit corruption names."""
+    from nuhtc_tpu.data.pipelines import CORRUPTION_GROUPS, CORRUPTIONS as CAT
+
+    out = []
+    for n in names:
+        if n == "None":
+            continue
+        elif n in CORRUPTION_GROUPS:
+            out.extend(CORRUPTION_GROUPS[n])
+        elif n in CAT or n == "jpeg":
+            out.append(n)
+        else:
+            raise ValueError(f"unknown corruption/group: {n}")
+    return list(dict.fromkeys(out))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("checkpoint", nargs="?", default=None)
-    ap.add_argument("--corruptions", nargs="+", default=list(CORRUPTIONS))
-    ap.add_argument("--severities", nargs="+", type=int, default=[1, 3, 5])
+    ap.add_argument("--corruptions", nargs="+", default=["benchmark"],
+                    help="corruption names or groups: all/benchmark/noise/"
+                    "blur/weather/digital/holdout/None (reference)")
+    ap.add_argument("--severities", nargs="+", type=int, default=[0, 1, 2, 3, 4, 5],
+                    help="0 = clean (reference default 0-5)")
     ap.add_argument("--limit", type=int, default=64)
+    ap.add_argument("--summaries", action="store_true",
+                    help="print every metric per corruption/severity (reference)")
+    ap.add_argument("--show-dir", default=None,
+                    help="save corrupted-input overlays here (reference)")
+    ap.add_argument("--show-score-thr", type=float, default=0.3)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="seed for the corruption noise draws")
+    ap.add_argument("--cfg-options", nargs="+", default=None)
     ap.add_argument("--out", default=None, help="save {distortion: {severity: metrics}} json")
     args = ap.parse_args()
+    args.corruptions = _expand_corruptions(args.corruptions)
 
     from nuhtc_tpu.apis import init_detector
     from nuhtc_tpu.config import Config
@@ -58,9 +83,13 @@ def main():
     from nuhtc_tpu.ops import rle as rle_ops
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
     dataset = build_dataset({**cfg.data.test, "test_mode": True})
     engine = init_detector(cfg, args.checkpoint)
     n = min(args.limit, len(dataset))
+    if args.show_dir:
+        os.makedirs(args.show_dir, exist_ok=True)
 
     class _Sliced:
         def __init__(self, ds, k):
@@ -92,11 +121,23 @@ def main():
     # reference layout ({distortion: {severity: metrics}}, severity 0 = clean
     # run — mmdet tools/analysis_tools/test_robustness.py aggregation input)
     all_results = {}
+    sevs = [s for s in args.severities if s != 0]
     for kind in args.corruptions:
         all_results[kind] = {0: {k: float(v) for k, v in base.items() if isinstance(v, float)}}
-        for sev in args.severities:
-            m = run_eval(lambda x, k=kind, s=sev: corrupt(x, k, s))
-            print(f"{kind} s{sev}: pq={m['pq']:.4f}")
+        for sev in sevs:
+            if args.show_dir:
+                import cv2
+
+                ov = corrupt(dataset.load_image(0), kind, sev, args.seed)
+                cv2.imwrite(os.path.join(args.show_dir, f"{kind}_s{sev}.png"),
+                            cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
+            m = run_eval(lambda x, k=kind, s=sev: corrupt(x, k, s, args.seed))
+            if args.summaries:
+                for mk, mv in m.items():
+                    if isinstance(mv, float):
+                        print(f"  {kind} s{sev} {mk}: {mv:.4f}")
+            else:
+                print(f"{kind} s{sev}: pq={m['pq']:.4f}")
             all_results[kind][int(sev)] = {
                 k: float(v) for k, v in m.items() if isinstance(v, float)
             }
