@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Summarize WSI processing throughput from process_list_autogen.csv +
-per-slide stats (reference tools/analysis_tools/analyze_wsi_logs.py).
+per-slide stats (beyond-reference utility; the reference's analyze_wsi_logs
+val-curve plotter lives at tools/analysis_tools/analyze_wsi_logs.py).
 
-Usage: python tools/misc/analyze_wsi_logs.py <save_dir>
+Usage: python tools/misc/wsi_throughput_summary.py <save_dir>
 """
 
 from __future__ import annotations
