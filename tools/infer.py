@@ -21,7 +21,11 @@ def main():
     ap.add_argument("img_dir")
     ap.add_argument("config")
     ap.add_argument("checkpoint", nargs="?", default=None)
-    ap.add_argument("--out", default="demo/imgs_infer")
+    ap.add_argument("--out", "--output", default="demo/imgs_infer", dest="out",
+                    help="directory for overlays/jsons (reference --output)")
+    ap.add_argument("--device", default=None,
+                    help="accepted for reference CLI compatibility; device "
+                    "selection is JAX_PLATFORMS on this framework")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--score-thr", type=float, default=0.35)
     ap.add_argument("--save-json", action="store_true", help="dump per-image detections json")
