@@ -223,14 +223,18 @@ class SwinBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )
+        # band kernel beats XLA only on large spatial extents (stage 0/1);
+        # at 32² and below the attention-only kernel lost (measured round 2).
+        # NUHTC_SWIN_KERNEL_MIN_HW lets perf probes re-test the cutoff for
+        # the full-block kernel, whose economics differ (it also saves the
+        # LN2/MLP HBM round-trips).
+        min_hw = int(os.environ.get("NUHTC_SWIN_KERNEL_MIN_HW", 64 * 64))
         eligible = (
             self.fused_attention
             and deterministic
             and self.dtype == jnp.bfloat16
             and jax.default_backend() != "cpu"
-            # band kernel beats XLA only on large spatial extents (stage 0/1);
-            # at 32² and below the block-diagonal waste dominates (measured)
-            and h * w >= 64 * 64
+            and h * w >= min_hw
         )
         # NUHTC_SWIN_KERNEL selects the Pallas kernel tier (read at trace
         # time): "block" = fused full block (attention+LN2+MLP, fastest),
