@@ -61,8 +61,9 @@ class SemiDataset:
         return len(self.sup) + (len(self.unsup) if self.unsup else 0)
 
 
-def prepare_train_sample(dataset, idx: int, pipeline, rng: np.random.RandomState) -> dict:
-    """Load + decode + augment one sample → pipeline results dict."""
+def prepare_train_sample(dataset, idx: int, pipeline, rng: np.random.RandomState) -> Optional[dict]:
+    """Load + decode + augment one sample → pipeline results dict, or None
+    when a crop transform rejects the sample (re-sample another index)."""
     img = dataset.load_image(idx).astype(np.float32)
     ann = dataset.get_ann_info(idx)
     masks = (
@@ -81,8 +82,24 @@ def prepare_train_sample(dataset, idx: int, pipeline, rng: np.random.RandomState
         gt_masks=masks,
         gt_semantic_seg=seg,
         ismask=ann.get("ismask"),
+        # FOVCrop reads img_info['fovloc'] (reference resize_scale.py:423)
+        img_info=dataset.img_info(idx) if hasattr(dataset, "img_info") else None,
     )
     return run_pipeline(pipeline, results, rng)
+
+
+def sample_train_valid(dataset, idx_fn, pipeline, rng, max_tries: int = 50) -> dict:
+    """Re-sample until the pipeline accepts a sample (mmdet
+    CustomDataset.__getitem__: a None from the pipeline — e.g. RandomCrop
+    with no gt box in the crop — picks another random index)."""
+    for _ in range(max_tries):
+        s = prepare_train_sample(dataset, idx_fn(rng), pipeline, rng)
+        if s is not None:
+            return s
+    raise RuntimeError(
+        f"pipeline rejected {max_tries} consecutive samples — check crop "
+        "sizes vs annotation density (allow_negative_crop?)"
+    )
 
 
 def instance_patches(masks: np.ndarray, boxes: np.ndarray, size: int = PATCH_SIZE) -> np.ndarray:
@@ -246,7 +263,9 @@ class SemiPrefetchLoader:
             seq = self._next_seed()
             rng = np.random.RandomState(self.seed + seq)
             sup_samples = [
-                prepare_train_sample(self.sup, rng.randint(len(self.sup)), self.pipeline, rng)
+                sample_train_valid(
+                    self.sup, lambda r: r.randint(len(self.sup)), self.pipeline, rng
+                )
                 for _ in range(self.batch_size)
             ]
             batch = collate_train(sup_samples, max_gt=self.max_gt)
@@ -353,12 +372,13 @@ class PrefetchLoader:
             seq = self._next_seed()
             rng = np.random.RandomState(self.seed + seq)
             samples = []
+            idx_fn = (
+                (lambda r: self.dataset.sample_index(r))
+                if self.class_aware
+                else (lambda r: r.randint(len(inner)))
+            )
             for _ in range(self.batch_size):
-                if self.class_aware:
-                    idx = self.dataset.sample_index(rng)
-                else:
-                    idx = rng.randint(len(inner))
-                samples.append(prepare_train_sample(inner, idx, self.pipeline, rng))
+                samples.append(sample_train_valid(inner, idx_fn, self.pipeline, rng))
             batch = collate_train(samples, max_gt=self.max_gt)
             while not self._stop.is_set():
                 try:

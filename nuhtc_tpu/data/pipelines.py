@@ -628,9 +628,14 @@ def build_train_pipeline(cfgs: List[dict]) -> List:
     return out
 
 
-def run_pipeline(transforms: List, results: dict, rng: np.random.RandomState) -> dict:
+def run_pipeline(transforms: List, results: dict, rng: np.random.RandomState) -> Optional[dict]:
+    """A transform returning None (RandomCrop/CusRandomCrop with no gt in
+    the crop, allow_negative_crop=False) aborts the sample — the caller
+    re-samples another index (mmdet CustomDataset.__getitem__ loop)."""
     for t in transforms:
         results = t(results, rng)
+        if results is None:
+            return None
     return results
 
 
@@ -793,64 +798,117 @@ class SmartResize(Resize):
     """Resize to target with aspect-preserving choice of scale per image."""
 
 
+def _crop_instances(results, y0, x0, ch, cw, allow_negative_crop=False):
+    """Crop img/masks/semantic to ``[y0:y0+ch, x0:x0+cw]`` with mmdet
+    ``RandomCrop._crop_data`` semantics (reference
+    nuhtc/datasets/pipelines/resize_scale.py:230-296): boxes shift into the
+    crop frame and clip to its border; instances whose boxes become
+    degenerate are dropped (labels/masks/ismask filtered with the same keep
+    set); returns None when no gt box survives and ``allow_negative_crop``
+    is False (the dataset then re-samples another image, mmdet
+    CustomDataset.__getitem__ semantics).
+
+    Handles the NuCLS partial-supervision state where ``gt_masks`` is a
+    prefix of ``gt_bboxes`` (box-only instances trail) — keep indices are
+    sorted, so kept masked instances stay ahead of kept box-only ones and
+    the prefix invariant holds.
+    """
+
+    def crop(x):
+        return np.ascontiguousarray(x[y0 : y0 + ch, x0 : x0 + cw])
+
+    boxes = results.get("gt_bboxes")
+    if boxes is not None and len(boxes):
+        b = boxes - np.array([x0, y0, x0, y0], np.float32)
+        b[:, 0::2] = np.clip(b[:, 0::2], 0, cw)
+        b[:, 1::2] = np.clip(b[:, 1::2], 0, ch)
+        valid = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+        if not valid.any() and not allow_negative_crop:
+            return None
+        keep = np.nonzero(valid)[0]
+        results["gt_bboxes"] = b[keep].astype(np.float32)
+        if "gt_labels" in results and len(results["gt_labels"]) == len(boxes):
+            results["gt_labels"] = np.asarray(results["gt_labels"])[keep]
+        if "ismask" in results and results["ismask"] is not None and len(
+            results["ismask"]
+        ) == len(boxes):
+            results["ismask"] = np.asarray(results["ismask"])[keep]
+        masks = results.get("gt_masks")
+        if masks is not None and len(masks):
+            mask_keep = keep[keep < len(masks)]
+            results["gt_masks"] = (
+                np.stack([crop(masks[i]) for i in mask_keep])
+                if len(mask_keep)
+                else masks[:0, y0 : y0 + ch, x0 : x0 + cw]
+            )
+    results["img"] = crop(results["img"])
+    if results.get("gt_semantic_seg") is not None:
+        results["gt_semantic_seg"] = crop(results["gt_semantic_seg"])
+    return results
+
+
 @PIPELINES.register()
-class CusRandomCrop:
-    def __init__(self, crop_size=(256, 256)):
+class RandomCrop:
+    """mmdet RandomCrop (absolute crop_type — the only one the reference
+    configs use; CoNIC trains with ``RandomCrop(128, 128)`` as the first
+    transform, configs/nuhtc/htc_lite_swin_pytorch_fpn_CoNIC_seasaw_CAS.py:272).
+    If the image is smaller than the crop size, crops to the image size
+    (i.e. no-op on that axis). Returns None when the crop contains no gt
+    box and ``allow_negative_crop`` is False."""
+
+    def __init__(self, crop_size=(256, 256), crop_type="absolute",
+                 allow_negative_crop=False, bbox_clip_border=True):
+        if crop_type != "absolute":
+            raise NotImplementedError(
+                f"crop_type={crop_type!r}: only 'absolute' is used by the "
+                "reference configs"
+            )
+        assert bbox_clip_border, "bbox_clip_border=False unused by reference"
         self.crop_size = crop_size
+        self.allow_negative_crop = _truthy(allow_negative_crop)
 
     def __call__(self, results, rng):
-        img = results["img"]
-        h, w = img.shape[:2]
+        h, w = results["img"].shape[:2]
         ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
         y0 = rng.randint(0, h - ch + 1)
         x0 = rng.randint(0, w - cw + 1)
+        return _crop_instances(results, y0, x0, ch, cw, self.allow_negative_crop)
 
-        def crop(x):
-            return np.ascontiguousarray(x[y0 : y0 + ch, x0 : x0 + cw])
 
-        results["img"] = crop(img)
-        if results.get("gt_semantic_seg") is not None:
-            results["gt_semantic_seg"] = crop(results["gt_semantic_seg"])
-        # boxes shift into the crop frame whether or not masks exist
-        # (box-only partial-supervision samples must not keep stale coords)
-        if "gt_bboxes" in results and len(results["gt_bboxes"]):
-            b = results["gt_bboxes"] - [x0, y0, x0, y0]
-            results["gt_bboxes"] = np.clip(
-                b, 0, [cw, ch, cw, ch]
-            ).astype(np.float32)
-        if "gt_masks" in results and len(results["gt_masks"]):
-            results["gt_masks"] = np.stack([crop(m) for m in results["gt_masks"]])
-            return RecomputeBox()(results, rng)
-        return results
+def _truthy(v):
+    # reference configs pass allow_negative_crop='True' (a string) —
+    # NuCLS config :271; bool('True') semantics, not ast parsing
+    return bool(v)
 
 
 @PIPELINES.register()
-class FOVCrop(CusRandomCrop):
-    """Center field-of-view crop (reference resize_scale.py FOVCrop)."""
+class CusRandomCrop(RandomCrop):
+    """Reference CusRandomCrop (resize_scale.py:167): mmdet RandomCrop plus
+    ismask filtering (handled by _crop_instances for every crop here)."""
 
-    def __call__(self, results, rng):
-        img = results["img"]
-        h, w = img.shape[:2]
-        ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
-        y0, x0 = (h - ch) // 2, (w - cw) // 2
 
-        def crop(x):
-            return np.ascontiguousarray(x[y0 : y0 + ch, x0 : x0 + cw])
+@PIPELINES.register()
+class FOVCrop:
+    """Crop to the image's annotated field-of-view rectangle (reference
+    resize_scale.py:356-425: ``results['img_info']['fovloc']`` = (x1, y1,
+    x2, y2), the NuCLS QC region). Images without a fovloc record pass
+    through unchanged (the reference would KeyError; NuCLS jsons always
+    carry it)."""
 
-        results["img"] = crop(img)
-        if results.get("gt_semantic_seg") is not None:
-            results["gt_semantic_seg"] = crop(results["gt_semantic_seg"])
-        # boxes shift into the crop frame whether or not masks exist
-        # (box-only partial-supervision samples must not keep stale coords)
-        if "gt_bboxes" in results and len(results["gt_bboxes"]):
-            b = results["gt_bboxes"] - [x0, y0, x0, y0]
-            results["gt_bboxes"] = np.clip(
-                b, 0, [cw, ch, cw, ch]
-            ).astype(np.float32)
-        if "gt_masks" in results and len(results["gt_masks"]):
-            results["gt_masks"] = np.stack([crop(m) for m in results["gt_masks"]])
-            return RecomputeBox()(results, rng)
-        return results
+    def __init__(self, allow_negative_crop=False, bbox_clip_border=True):
+        self.allow_negative_crop = _truthy(allow_negative_crop)
+
+    def __call__(self, results, rng=None):
+        fovloc = (results.get("img_info") or {}).get("fovloc")
+        if fovloc is None:
+            return results
+        x1, y1, x2, y2 = (int(v) for v in fovloc)
+        h, w = results["img"].shape[:2]
+        x1, y1 = max(x1, 0), max(y1, 0)
+        x2, y2 = min(max(x2, x1 + 1), w), min(max(y2, y1 + 1), h)
+        return _crop_instances(
+            results, y1, x1, y2 - y1, x2 - x1, self.allow_negative_crop
+        )
 
 
 @PIPELINES.register()

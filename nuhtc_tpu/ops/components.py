@@ -190,12 +190,13 @@ def boxes_from_roots(lab: jnp.ndarray, roots: jnp.ndarray):
     h, w = lab.shape
     k = roots.shape[0]
     if (
-        os.environ.get("NUHTC_COMPONENTS_KERNEL", "xla") == "pallas"
+        os.environ.get("NUHTC_COMPONENTS_KERNEL", "pallas") == "pallas"
         and jax.default_backend() != "cpu"
         and k % 128 == 0 and h % 8 == 0 and w % 128 == 0
     ):
-        # opt-in until validated compile+parity at production shapes on a
-        # real TPU (interpret-mode parity only so far)
+        # default since round 4: exact match vs the XLA path at production
+        # shapes on a real TPU v5e (commit 05c0bd1); NUHTC_COMPONENTS_KERNEL
+        # =xla restores the fallback
         from nuhtc_tpu.ops.components_pallas import boxes_from_roots_pallas
 
         return boxes_from_roots_pallas(lab, roots)

@@ -179,10 +179,20 @@ def infer_slide(
     n_nuclei = 0
     annidx = 0
     coco_mode = mode in ("coco", "all")
+    # wall-time attribution (BASELINE "WSI number of record": separates
+    # device/tunnel stall from host contour/export cost): read_wait = blocked
+    # on the threaded tile reader; dispatch = upload + enqueue (tunnel upload
+    # stalls land here); collect = device-wait + download; post = host
+    # contours/export after collect
+    tm = {"read_wait_s": 0.0, "dispatch_s": 0.0, "collect_s": 0.0, "post_s": 0.0}
 
     def process(handle, batch_coords, tiles):
         nonlocal n_nuclei, annidx
-        for res, coord, tile in zip(engine.collect(handle), batch_coords, tiles):
+        tc = time.perf_counter()
+        results = engine.collect(handle)
+        tm["collect_s"] += time.perf_counter() - tc
+        tp = time.perf_counter()
+        for res, coord, tile in zip(results, batch_coords, tiles):
             conts, labels, scores, boxes, rles = postprocess_tile(
                 res, tuple(coord), patch_size, cfg
             )
@@ -212,6 +222,7 @@ def infer_slide(
                     cv2.cvtColor(ov, cv2.COLOR_RGB2BGR),
                 )
             annidx += 1
+        tm["post_s"] += time.perf_counter() - tp
         if progress:
             dt = time.perf_counter() - t0
             print(
@@ -224,11 +235,22 @@ def infer_slide(
     # host post-processing (contours, export IO) overlaps device compute
     # (reference stage B serializes these per batch — SURVEY.md §3.3)
     pending = None
-    for tiles, batch_coords in tile_stream(
-        slide, coords, patch_size, patch_level=patch_level,
-        batch_size=engine.batch_size, num_threads=num_read_threads,
-    ):
+    stream = iter(
+        tile_stream(
+            slide, coords, patch_size, patch_level=patch_level,
+            batch_size=engine.batch_size, num_threads=num_read_threads,
+        )
+    )
+    while True:
+        tr = time.perf_counter()
+        item = next(stream, None)
+        tm["read_wait_s"] += time.perf_counter() - tr
+        if item is None:
+            break
+        tiles, batch_coords = item
+        td_ = time.perf_counter()
         handle = engine.dispatch(tiles)
+        tm["dispatch_s"] += time.perf_counter() - td_
         if pending is not None:
             process(*pending)
         pending = (handle, batch_coords, tiles)
@@ -238,4 +260,7 @@ def infer_slide(
     dt = time.perf_counter() - t0
     if progress:
         print()
-    return dict(tiles=n_tiles, nuclei=n_nuclei, seconds=dt, tiles_per_sec=n_tiles / max(dt, 1e-9))
+    return dict(
+        tiles=n_tiles, nuclei=n_nuclei, seconds=dt,
+        tiles_per_sec=n_tiles / max(dt, 1e-9), **tm,
+    )

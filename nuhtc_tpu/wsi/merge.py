@@ -40,6 +40,14 @@ def poly_area(poly: np.ndarray) -> float:
 
 
 def raster_iou(p1: np.ndarray, p2: np.ndarray) -> float:
+    """Polygon IoU by joint-bbox rasterization (stands in for the reference's
+    exact shapely intersection, tools/nuclei_merge.py:114-174). Nuclei-scale
+    pairs (joint bbox ≤ 1M px — virtually all real queries) rasterize with
+    adaptive supersampling (up to 16×, ~1M raster px budget), shrinking
+    pixel-quantization error ~1/scale (measured ≤0.01 absolute IoU on
+    adversarial near-threshold pairs, tests/test_merge_iou.py); giant merged
+    regions fall back to capped-resolution rasterization where the
+    boundary/area ratio makes quantization negligible."""
     b1, b2 = poly_bbox(p1), poly_bbox(p2)
     x1, y1 = min(b1[0], b2[0]), min(b1[1], b2[1])
     x2, y2 = max(b1[2], b2[2]), max(b1[3], b2[3])
@@ -47,7 +55,12 @@ def raster_iou(p1: np.ndarray, p2: np.ndarray) -> float:
     if w <= 0 or h <= 0:
         return 0.0
     scale = 1.0
-    if w * h > 4_000_000:
+    if w * h <= 1_000_000:
+        # supersample small (nuclei-scale) pairs: quantization error shrinks
+        # ~1/scale; budget ~1M raster px, cap 16x
+        scale = float(min(16, max(1, int((1_000_000 / (w * h)) ** 0.5))))
+        w, h = int(w * scale), int(h * scale)
+    elif w * h > 4_000_000:
         # Giant joint bbox (merged mega-regions): rasterize at reduced
         # resolution instead of silently reporting IoU 0 (which would make
         # huge regions never merge — the reference shapely path has no cap).

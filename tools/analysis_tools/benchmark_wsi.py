@@ -98,6 +98,15 @@ def main():
             f"({stats['nuclei']} nuclei; first pass incl. compile {warm:.1f}s; "
             f"device_path={dev})"
         )
+        acct = sum(stats[k] for k in ("read_wait_s", "dispatch_s", "collect_s", "post_s"))
+        print(
+            "attribution: "
+            f"read_wait {stats['read_wait_s']:.2f}s · "
+            f"dispatch(upload) {stats['dispatch_s']:.2f}s · "
+            f"collect(device+download) {stats['collect_s']:.2f}s · "
+            f"host post(contours/export) {stats['post_s']:.2f}s · "
+            f"other {stats['seconds'] - acct:.2f}s"
+        )
 
 
 if __name__ == "__main__":

@@ -80,7 +80,8 @@ def main():
                 ref = o
                 derr = 0.0
             else:
-                derr = float(np.abs(o - ref).max())
+                # baseline may have failed → still report timings
+                derr = float(np.abs(o - ref).max()) if ref is not None else float("nan")
             print(
                 f"stage dim={dim} hw={hw} depth={depth} mode={mode}: "
                 f"{dt:.2f} ms/stage (B16), max_abs vs none = {derr:.4g}",

@@ -57,6 +57,10 @@ def main():
         nproc = init_distributed()
         print(f"distributed: {nproc} processes")
 
+    from nuhtc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # train-graph compiles are minutes-scale
+
     import jax.numpy as jnp
 
     from nuhtc_tpu.config import Config
@@ -121,9 +125,11 @@ def main():
                            float(cfg.get("scale_factor", 2.0)), dtype=dtype)
 
     n_train = len(train_ds)
-    iters_per_epoch = args.iters_per_epoch or max(
-        n_train // cfg.get("samples_per_gpu", 8), 1
-    )
+    iters_per_epoch = args.iters_per_epoch or max(n_train // batch_size, 1)
+    # checkpoint_config = dict(interval=, max_keep_ckpts=) is the reference
+    # schema (configs/nuhtc/*_seasaw_CAS.py:374-378); the flat
+    # checkpoint_interval key is this framework's shorthand
+    ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
     trainer = Trainer(
         model,
         cfg,
@@ -131,7 +137,10 @@ def main():
         max_epochs=args.max_epochs or cfg.get("max_epochs", 200),
         iters_per_epoch=iters_per_epoch,
         log_interval=cfg.get("log_interval", 50),
-        checkpoint_interval=cfg.get("checkpoint_interval", 10),
+        checkpoint_interval=cfg.get(
+            "checkpoint_interval", ckpt_cfg.get("interval", 10)
+        ),
+        max_keep_ckpts=ckpt_cfg.get("max_keep_ckpts", 40),
         eval_interval=cfg.get("evaluation", {}).get("interval", 10),
         seed=args.seed,
     )
