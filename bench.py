@@ -130,7 +130,11 @@ def main():
 
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
-    model = NuHTC(num_classes=5, dtype=dtype, scale_factor=scale)
+    # perf-probe knobs (recorded in the JSON): banded-roi chunk/band override
+    roi_chunk = int(os.environ.get("NUHTC_ROI_CHUNK", "16"))
+    roi_band = int(os.environ.get("NUHTC_ROI_BAND", "32"))
+    model = NuHTC(num_classes=5, dtype=dtype, scale_factor=scale,
+                  roi_chunk=roi_chunk, roi_band=roi_band)
 
     img0 = jnp.zeros((batch, size, size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), img0, method="init_forward")
@@ -204,10 +208,11 @@ def main():
                         os.environ.get("NUHTC_SWIN_KERNEL_MIN_HW", 64 * 64)
                     ),
                     "components_kernel": os.environ.get(
-                        "NUHTC_COMPONENTS_KERNEL", "pallas"
+                        "NUHTC_COMPONENTS_KERNEL", "xla"
                     ),
                     "roi_band": model.roi_band,
                     "roi_chunk": model.roi_chunk,
+                    "mask_conv0_fold": os.environ.get("NUHTC_MASK_CONV0_FOLD", "0"),
                     "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
                 },
                 "wsi": wsi_stats,

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -102,10 +104,11 @@ class NuHTC(nn.Module):
     # repair capacity would train on x-clipped features). 0 = dense.
     train_roi_band: int = 64
     train_roi_overflow: int = 256
-    # rois per banded-scan chunk: 8 beats 16 on v5e (narrower effective
-    # windows per chunk -> less slice traffic at unchanged MXU shapes;
-    # overflow drops too: 67 vs 109 on the pessimistic synthetic mix)
-    roi_chunk: int = 8
+    # rois per banded-scan chunk: 16 beats 8 END-TO-END on v5e (114.2 vs
+    # 113.9 tiles/s, round-4 A/B). The round-2 extractor probe said 8
+    # (21.5 -> 19.7 ms/stage) but the isolated probe overweights slice
+    # traffic vs the in-model schedule — trust whole-model bench only.
+    roi_chunk: int = 16
     # 2-d banding: proposals additionally sort by y-stripe so each chunk also
     # reads a roi_yband-row window. Implemented and exact (same union repair),
     # but OFF by default: t1's contraction depth K drops 128 -> yband, and the
@@ -253,8 +256,13 @@ class NuHTC(nn.Module):
             # banded extraction with one union overflow repair per stage; the
             # head's shared_fc0 matmul is folded into the scan body so the
             # (B*P, 7*7*C) activation never materializes (bbox_head.py
-            # split-fc0 modes)
-            w0, _ = self.bbox_heads[stage](None, return_fc0=True)
+            # split-fc0 modes). NUHTC_FC0_FOLD=0 is a perf-probe knob that
+            # keeps fc0 in the head (measured: the fold WINS here, 99.4 ->
+            # 106.8 tiles/s round 2 — unlike the mask conv0 fold).
+            fold = os.environ.get("NUHTC_FC0_FOLD", "1") == "1"
+            w0 = None
+            if fold:
+                w0, _ = self.bbox_heads[stage](None, return_fc0=True)
 
             def per_image(f_tuple, sem, r):
                 return banded_stage_features(
@@ -265,10 +273,16 @@ class NuHTC(nn.Module):
                     fc0_kernel=w0, yband=yband, chunk=self.roi_chunk,
                 )
 
-            fc0_pre = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
-            cls_score, bbox_pred = self.bbox_heads[stage](
-                None, fc0_pre=fc0_pre.reshape(b * p, -1)
-            )
+            out = jax.vmap(per_image)(tuple(feats), semantic_feat, rois)
+            if fold:
+                cls_score, bbox_pred = self.bbox_heads[stage](
+                    None, fc0_pre=out.reshape(b * p, -1)
+                )
+            else:
+                c = feats[0].shape[-1]
+                cls_score, bbox_pred = self.bbox_heads[stage](
+                    out.reshape(b * p, 7, 7, c)
+                )
             return cls_score.reshape(b, p, -1), bbox_pred.reshape(b, p, 4)
         else:
             def per_image(f_tuple, sem, r):
@@ -305,7 +319,13 @@ class NuHTC(nn.Module):
             # (mask_head.py split-conv0 modes; _Cus needs the raw features
             # for per-stage heads with info-flow, so it keeps them)
             w0c = None
-            if self.lite:
+            if self.lite and os.environ.get("NUHTC_MASK_CONV0_FOLD", "0") == "1":
+                # OFF by default: the fold trades the (B,D,14,14,C)
+                # activation for a 3x3 unfold-concat inside the scan body,
+                # which costs MORE on v5e — end-to-end bench 97.0 -> 113.9
+                # tiles/s with the fold disabled (round-4 A/B; the
+                # unfold-concat to (…,196,576) dominated the trace at
+                # ~8 ms/step). Machinery kept for re-testing on other shapes.
                 w0c, _ = self.mask_head(None, return_conv0=True)
 
             def per_image(f_tuple, sem, r):
@@ -321,7 +341,8 @@ class NuHTC(nn.Module):
             if self.lite:
                 logits = self.mask_head(
                     mask_feats.reshape(b * d, 14, 14, -1), res_feat=None,
-                    return_logits=True, return_feat=False, conv0_pre=True,
+                    return_logits=True, return_feat=False,
+                    conv0_pre=w0c is not None,
                 )
                 return jax.nn.sigmoid(logits[..., 0]).reshape(b, d, 28, 28)
         else:

@@ -190,13 +190,15 @@ def boxes_from_roots(lab: jnp.ndarray, roots: jnp.ndarray):
     h, w = lab.shape
     k = roots.shape[0]
     if (
-        os.environ.get("NUHTC_COMPONENTS_KERNEL", "pallas") == "pallas"
+        os.environ.get("NUHTC_COMPONENTS_KERNEL", "xla") == "pallas"
         and jax.default_backend() != "cpu"
         and k % 128 == 0 and h % 8 == 0 and w % 128 == 0
     ):
-        # default since round 4: exact match vs the XLA path at production
-        # shapes on a real TPU v5e (commit 05c0bd1); NUHTC_COMPONENTS_KERNEL
-        # =xla restores the fallback
+        # OPT-IN, not default: exact match vs the XLA path on a real TPU v5e
+        # (05c0bd1), but SLOWER in-model — end-to-end bench at B16 drops
+        # 93.8 -> 81.3 tiles/s (~26 ms/step): under vmap the per-image
+        # pallas_call serializes while the XLA row-factored path fuses
+        # across the batch (round-4 A/B, BASELINE.md)
         from nuhtc_tpu.ops.components_pallas import boxes_from_roots_pallas
 
         return boxes_from_roots_pallas(lab, roots)
