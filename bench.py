@@ -123,7 +123,7 @@ def main():
 
     from nuhtc_tpu.models.detector import NuHTC
 
-    batch = 16
+    batch = int(os.environ.get("NUHTC_BENCH_BATCH", "16"))
     tile = 256
     scale = 2.0
     size = int(tile * scale)
@@ -213,6 +213,7 @@ def main():
                     "roi_band": model.roi_band,
                     "roi_chunk": model.roi_chunk,
                     "mask_conv0_fold": os.environ.get("NUHTC_MASK_CONV0_FOLD", "0"),
+                    "batch": batch,
                     "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
                 },
                 "wsi": wsi_stats,

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Whole-model bench A/B sweep over the gated perf knobs (runs bench.py as a
+subprocess per config — BASELINE.md round-4 lesson: isolated op probes
+mispredicted the in-model winner three times; only whole-model numbers set
+defaults).
+
+Each row is one bench.py run on the real TPU with a different env combo.
+Results print as a table and append to /tmp/bench_sweep.jsonl.
+
+Usage:  python tools/analysis_tools/bench_sweep.py [--quick] [--only NAME ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+# name -> env overrides (on top of current defaults)
+SWEEPS = {
+    "default": {},
+    # Swin full-block kernel at stage 2 (32x32) and stages 2+3 (16x16):
+    # the round-3 cutoff (64x64) predates the full-block kernel whose
+    # economics fold the LN2/MLP HBM round-trips as well
+    "swin_min_hw_1024": {"NUHTC_SWIN_KERNEL_MIN_HW": "1024"},
+    "swin_min_hw_256": {"NUHTC_SWIN_KERNEL_MIN_HW": "256"},
+    # band width around the 32 default
+    "band_24": {"NUHTC_ROI_BAND": "24"},
+    "band_48": {"NUHTC_ROI_BAND": "48"},
+    # batch size (B32 lost at round-1 state; the model is leaner now)
+    "batch_24": {"NUHTC_BENCH_BATCH": "24"},
+    "batch_32": {"NUHTC_BENCH_BATCH": "32"},
+}
+
+
+def run_one(name: str, env_extra: dict, timeout: float = 1500.0):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    if name != "default":
+        env["BENCH_WSI"] = "0"  # A/B rows only need the patch number
+    env.update(env_extra)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    line = None
+    for ln in proc.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{") and '"metric"' in ln:
+            line = ln
+    rec = {"name": name, "env": env_extra, "wall_s": round(time.time() - t0, 1)}
+    if proc.returncode != 0 or line is None:
+        rec["error"] = proc.stdout[-1500:]
+    else:
+        rec.update(json.loads(line))
+    with open("/tmp/bench_sweep.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="+", default=None)
+    args = ap.parse_args()
+
+    names = args.only or list(SWEEPS)
+    for name in names:
+        rec = run_one(name, SWEEPS[name])
+        val = rec.get("value", "ERR")
+        print(f"{name:>18}: {val} tiles/s  ({rec['wall_s']}s)"
+              + (f"  ERROR: {rec['error'][-200:]}" if "error" in rec else ""),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

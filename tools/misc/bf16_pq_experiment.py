@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Trained-weights accuracy bound for the bf16 production inference path.
+
+The driver's accuracy gate is "PanNuke PQ within 0.002 of the reference
+checkpoint" (BASELINE.json), and it applies to the PRODUCTION path: bf16
+matmuls + banded RoI extraction + fused Pallas Swin kernels. The full-scale
+parity harness (tools/misc/full_scale_parity.py) pins the f32/HIGHEST path
+to the torch oracle bit-for-bit-level (500/500 detections), but with random
+weights the bf16 path's NMS churn is unquantifiable in PQ terms — scores are
+near-tied so tiny rounding flips detection order without meaning anything.
+
+This experiment closes that gap with TRAINED weights:
+
+  1. synthesize a structured PanNuke-format dataset (tools/misc/
+     make_synthetic_pannuke.py — H&E-like tiles, 5 classes, real instance
+     statistics) and preprocess to COCO layout;
+  2. train the FULL flagship Swin-T NuHTC (configs/nuhtc/
+     htc_lite_swin_fpn_pannuke_syn.py — production architecture + pipeline,
+     short warmup) for a few hundred steps on the TPU;
+  3. run the dataset eval TWICE with the same checkpoint —
+       (a) f32 + exact RoI ops + HIGHEST matmul precision (the oracle path
+           certified against torch by full_scale_parity), and
+       (b) bf16 production defaults (banded RoI, fused kernels — exactly
+           what bench.py measures),
+     and report the full PQ/AJI/Dice metric suite side by side with deltas.
+
+The |ΔPQ| between (a) and (b) bounds the production path's numeric drift on
+trained weights — the number the 0.002 gate is about (reference eval:
+/root/reference/nuhtc/datasets/WSI_coco.py:278-544).
+
+Usage (on the TPU):
+  python tools/misc/bf16_pq_experiment.py --work /tmp/bf16pq \
+      --epochs 8 --iters 75 --report docs/BF16_PQ_REPORT.md
+Re-running skips completed stages (data/train) unless --fresh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+CONFIG = os.path.join(REPO, "configs", "nuhtc", "htc_lite_swin_fpn_pannuke_syn.py")
+
+
+def _run(args, env_extra, timeout=7200):
+    env = dict(os.environ)
+    env.update(env_extra)
+    proc = subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    sys.stdout.write(proc.stdout[-2000:])
+    if proc.returncode != 0:
+        raise RuntimeError(f"{args[0]} failed rc={proc.returncode}")
+
+
+def build_data(work: str):
+    t = lambda *p: os.path.join(work, *p)
+    if os.path.exists(t("coco", "PanNuke", "PanNuke_annt_RLE_fold3.json")):
+        print("[data] exists, skipping")
+        return
+    env = {"NUHTC_SYN_ROOT": work, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+    _run(["tools/misc/make_synthetic_pannuke.py", "--out", t("raw_f1"),
+          "--n-tiles", "48", "--seed", "0"], env)
+    _run(["tools/misc/make_synthetic_pannuke.py", "--out", t("raw_f3"),
+          "--n-tiles", "16", "--seed", "3"], env)
+    for fold, raw in (("1", "raw_f1"), ("3", "raw_f3")):
+        _run(["tools/preprocess_pannuke.py",
+              "--images", t(raw, "images.npy"), "--masks", t(raw, "masks.npy"),
+              "--types", t(raw, "types.npy"), "--fold", fold,
+              "--out-dir", t("datasets", "PanNuke"),
+              "--coco-dir", t("coco", "PanNuke")], env)
+
+
+def train(work: str, epochs: int, iters: int):
+    ckpt_dir = os.path.join(work, "train", "checkpoints")
+    if glob.glob(os.path.join(ckpt_dir, "*")):
+        print("[train] checkpoint exists, skipping")
+        return ckpt_dir
+    _run(["tools/train.py", CONFIG, "--work-dir", os.path.join(work, "train"),
+          "--max-epochs", str(epochs), "--iters-per-epoch", str(iters),
+          "--seed", "0", "--no-validate"],
+         {"NUHTC_SYN_ROOT": work, "PYTHONPATH": REPO})
+    assert glob.glob(os.path.join(ckpt_dir, "*")), "no checkpoint written"
+    return ckpt_dir
+
+
+def eval_once(work: str, ckpt: str, mode: str, score_thr: float | None,
+              batch_size: int = 8):
+    """One full dataset eval pass. mode: 'f32' (exact oracle) or 'bf16'
+    (production defaults). Returns the metric dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from nuhtc_tpu.apis import init_detector
+    from nuhtc_tpu.config import Config
+    from nuhtc_tpu.data import build_dataset
+    from nuhtc_tpu.eval.evaluate import evaluate_dataset
+    from nuhtc_tpu.ops import rle as rle_ops
+
+    os.environ["NUHTC_SYN_ROOT"] = work
+    cfg = Config.fromfile(CONFIG)
+    if score_thr is not None:
+        cfg.model["test_cfg"]["rcnn"]["score_thr"] = score_thr
+    if mode == "f32":
+        cfg.model["exact_rois"] = True
+        dtype = jnp.float32
+    else:
+        dtype = jnp.bfloat16
+    dataset = build_dataset({**cfg.data.test, "test_mode": True})
+    engine = init_detector(cfg, ckpt, batch_size=batch_size, dtype=dtype)
+
+    results = []
+    t0 = time.perf_counter()
+    idxs = list(range(len(dataset)))
+    ctx = jax.default_matmul_precision("float32" if mode == "f32" else "bfloat16")
+    with ctx:
+        for start in range(0, len(idxs), batch_size):
+            imgs = [dataset.load_image(i) for i in idxs[start:start + batch_size]]
+            for res in engine.run_batch(imgs):
+                bboxes, segms = [], []
+                for c in range(engine.num_classes):
+                    sel = res["labels"] == c
+                    bboxes.append(np.concatenate(
+                        [res["boxes"][sel], res["scores"][sel][:, None]], 1
+                    ).astype(np.float32))
+                    segms.append([rle_ops.encode(m) for m in res["masks"][sel]])
+                results.append((bboxes, segms))
+    dt = time.perf_counter() - t0
+    n_det = sum(sum(len(b) for b in r[0]) for r in results)
+    print(f"[{mode}] {len(idxs)} imgs in {dt:.1f}s, {n_det} detections")
+    metrics = evaluate_dataset(dataset, results)
+    metrics["_n_detections"] = n_det
+    return metrics
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/bf16pq")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=75)
+    ap.add_argument("--score-thr", type=float, default=None,
+                    help="override test_cfg.rcnn.score_thr for BOTH paths")
+    ap.add_argument("--report", default=None, help="write a markdown report here")
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+
+    if args.fresh and os.path.exists(args.work):
+        import shutil
+        shutil.rmtree(args.work)
+    os.makedirs(args.work, exist_ok=True)
+
+    build_data(args.work)
+    ckpt = train(args.work, args.epochs, args.iters)
+
+    m32 = eval_once(args.work, ckpt, "f32", args.score_thr)
+    m16 = eval_once(args.work, ckpt, "bf16", args.score_thr)
+
+    keys = [k for k in m32 if not k.startswith("_") and isinstance(m32[k], (int, float))
+            and not (isinstance(m32[k], float) and np.isnan(m32[k]))]
+    rows = []
+    for k in sorted(keys):
+        a, b = float(m32[k]), float(m16.get(k, float("nan")))
+        rows.append((k, a, b, b - a))
+    width = max(len(k) for k, *_ in rows)
+    print(f"\n{'metric':<{width}}  {'f32/exact':>10}  {'bf16/prod':>10}  {'delta':>9}")
+    for k, a, b, d in rows:
+        print(f"{k:<{width}}  {a:10.4f}  {b:10.4f}  {d:+9.4f}")
+
+    pq_rows = [(k, a, b, d) for k, a, b, d in rows if "PQ" in k or k in ("AJI", "Dice", "DQ", "SQ")]
+    max_pq_delta = max((abs(d) for k, a, b, d in pq_rows), default=float("nan"))
+    print(f"\nmax |delta| over PQ-family metrics: {max_pq_delta:.4f} (gate scale: 0.002)")
+
+    if args.report:
+        steps = args.epochs * args.iters
+        lines = [
+            "# bf16 production path vs f32 oracle — trained-weights PQ bound",
+            "",
+            f"Flagship Swin-T NuHTC trained {steps} steps (B8, lr 1e-4, 100-iter "
+            f"warmup) on the 48-tile synthetic PanNuke set "
+            "(tools/misc/bf16_pq_experiment.py), then the 16-tile fold3 eval run "
+            "twice with the SAME checkpoint:",
+            "",
+            "- **f32/exact** — float32 params/activations, exact RoI ops, "
+            "`jax.default_matmul_precision('float32')`: the oracle path pinned "
+            "to the torch reference by tests/goldens/full_scale (500/500 "
+            "detection parity).",
+            "- **bf16/prod** — production defaults, exactly what bench.py "
+            "measures: bf16 matmuls, banded RoI extraction + fc0 fold, fused "
+            "Pallas Swin block kernels.",
+            "",
+            "| metric | f32/exact | bf16/prod | delta |",
+            "|---|---|---|---|",
+        ]
+        for k, a, b, d in rows:
+            lines.append(f"| {k} | {a:.4f} | {b:.4f} | {d:+.4f} |")
+        lines += [
+            "",
+            f"f32 detections: {m32['_n_detections']} · bf16 detections: {m16['_n_detections']}",
+            "",
+            f"**max |Δ| over the PQ family: {max_pq_delta:.4f}** "
+            "(reference gate scale: 0.002 — BASELINE.json).",
+        ]
+        os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)
+        with open(args.report, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"report → {args.report}")
+
+
+if __name__ == "__main__":
+    main()
