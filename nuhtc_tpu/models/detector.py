@@ -44,7 +44,7 @@ from nuhtc_tpu.models.roi_extractor import (
 )
 from nuhtc_tpu.ops import boxes as box_ops
 from nuhtc_tpu.ops import nms as nms_ops
-from nuhtc_tpu.ops.components import component_proposals
+from nuhtc_tpu.ops.components import component_proposals_batched
 
 Dtype = Any
 
@@ -419,14 +419,12 @@ class NuHTC(nn.Module):
         semantic_logits, semantic_feat = self.semantic_head(feats)
 
         if self.watershed_proposal:
-            ws_boxes5, ws_valid = jax.vmap(
-                lambda sl: component_proposals(
-                    sl[..., 0],
-                    img_shape,
-                    max_components=self.watershed_max,
-                    min_area=self.watershed_min_area,
-                )
-            )(semantic_logits)
+            ws_boxes5, ws_valid = component_proposals_batched(
+                semantic_logits[..., 0],
+                img_shape,
+                max_components=self.watershed_max,
+                min_area=self.watershed_min_area,
+            )
             # reference prepends watershed boxes to RPN proposals
             rois = jnp.concatenate([ws_boxes5[..., :4], prop_boxes], axis=1)
             rois_valid = jnp.concatenate([ws_valid, prop_valid], axis=1)
@@ -681,12 +679,10 @@ class NuHTC(nn.Module):
 
         # ---- watershed proposal injection ---------------------------------
         if self.watershed_proposal:
-            ws_boxes5, ws_valid = jax.vmap(
-                lambda sl: component_proposals(
-                    jax.lax.stop_gradient(sl[..., 0]), img_shape,
-                    max_components=self.watershed_max, min_area=self.watershed_min_area,
-                )
-            )(semantic_logits)
+            ws_boxes5, ws_valid = component_proposals_batched(
+                jax.lax.stop_gradient(semantic_logits[..., 0]), img_shape,
+                max_components=self.watershed_max, min_area=self.watershed_min_area,
+            )
             proposals = jnp.concatenate([ws_boxes5[..., :4], prop_boxes], axis=1)
             proposals_valid = jnp.concatenate([ws_valid, prop_valid], axis=1)
         else:

@@ -278,6 +278,56 @@ def component_proposals(
     return boxes5, valid
 
 
+def component_proposals_batched(
+    semantic_logits: jnp.ndarray,  # (B, Hs, Ws) float — semantic head logits
+    img_shape: tuple[int, int],
+    max_components: int = 512,
+    min_area: int = 10,
+    thres: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ``component_proposals``: mask prep + CCL + root extraction run
+    under vmap (shift/scan ops batch cleanly), while the box/area reduction
+    goes through ONE batch-grid Pallas call when enabled
+    (NUHTC_COMPONENTS_KERNEL=pallas) — the per-image kernel under vmap
+    serialized B pallas_calls and lost in-model (BASELINE.md round 4);
+    the batched grid keeps the single-pass VMEM economics without that."""
+    from nuhtc_tpu.ops import morphology
+
+    h, w = img_shape
+    b = semantic_logits.shape[0]
+    k = max_components
+
+    def prep(sl):
+        blurred = resize_blur_align_corners(sl, (h, w))
+        mask = blurred > thres
+        mask = morphology.binary_open(mask, ksize=5, iterations=2) > 0.5
+        mask = morphology.fill_holes(mask)
+        lab = label_components_raw(mask)
+        roots, valid = first_roots(lab, mask, k, 96)
+        return lab, roots, valid
+
+    lab, roots, valid = jax.vmap(prep)(semantic_logits)
+
+    if (
+        os.environ.get("NUHTC_COMPONENTS_KERNEL", "xla") == "pallas"
+        and jax.default_backend() != "cpu"
+        and k % 128 == 0 and h % 8 == 0 and w % 128 == 0
+    ):
+        from nuhtc_tpu.ops.components_pallas import boxes_from_roots_pallas_batched
+
+        boxes, areas = boxes_from_roots_pallas_batched(lab, roots)
+    else:
+        boxes, areas = jax.vmap(lambda l, r: boxes_from_roots(l, r))(lab, roots)
+
+    boxes = jnp.where(valid[..., None], boxes, 0.0)
+    areas = jnp.where(valid, areas, 0)
+    max_area = h * w / 4
+    valid = valid & (areas > min_area) & (areas < max_area)
+    boxes5 = jnp.concatenate([boxes, jnp.ones((b, k, 1), boxes.dtype)], axis=-1)
+    boxes5 = jnp.where(valid[..., None], boxes5, 0.0)
+    return boxes5, valid
+
+
 def _axis_resize_np(src: int, dst: int) -> np.ndarray:
     if dst == 1:
         return np.ones((1, src))

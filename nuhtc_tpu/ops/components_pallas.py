@@ -84,23 +84,45 @@ def boxes_from_roots_pallas(
     """→ (boxes (K, 4) [x1, y1, x2+1, y2+1] f32, areas (K,) i32) — same
     contract as components.boxes_from_roots. K must be a multiple of 128
     (pad the ids with an out-of-range value)."""
-    h, w = lab.shape
-    (k,) = roots.shape
+    boxes, areas = boxes_from_roots_pallas_batched(
+        lab[None], roots[None], row_block=row_block, interpret=interpret
+    )
+    return boxes[0], areas[0]
+
+
+@partial(jax.jit, static_argnames=("row_block", "interpret"))
+def boxes_from_roots_pallas_batched(
+    lab: jnp.ndarray,  # (B, H, W) i32 raw labels
+    roots: jnp.ndarray,  # (B, K) i32 component ids (padding = out-of-range)
+    row_block: int = 8,
+    interpret: bool = False,
+):
+    """Batched single-pass stats: → (boxes (B, K, 4), areas (B, K) i32).
+
+    The batch rides the FIRST grid dimension — ONE pallas_call covers all B
+    images, so Mosaic pipelines row-block DMAs across the whole batch. (The
+    round-4 in-model loss of the per-image kernel came from vmap serializing
+    B=16 separate pallas_calls while the XLA path fused across the batch —
+    BASELINE.md.) Grid iterates row-major (row-sweep j fastest), so the
+    ``step == 0`` init fires once per image and the (1, K) stat rows stay
+    VMEM-resident for that image's whole sweep."""
+    b, h, w = lab.shape
+    _, k = roots.shape
     assert k % 128 == 0 and h % row_block == 0, (k, h, row_block)
     n_rb = h // row_block
     kern = _make_kernel(k, min(k, 128), row_block, w, n_rb)
 
     outs = pl.pallas_call(
         kern,
-        grid=(1, n_rb),
+        grid=(b, n_rb),
         in_specs=[
-            pl.BlockSpec((1, row_block, w), lambda i, j: (0, j, 0)),
-            pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, row_block, w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, k), lambda i, j: (i, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, k), lambda i, j: (0, 0))] * 5,
-        out_shape=[jax.ShapeDtypeStruct((1, k), jnp.float32)] * 5,
+        out_specs=[pl.BlockSpec((1, k), lambda i, j: (i, 0))] * 5,
+        out_shape=[jax.ShapeDtypeStruct((b, k), jnp.float32)] * 5,
         interpret=interpret,
-    )(lab[None], roots.astype(jnp.int32)[None])
-    xmin, xmax, ymin, ymax, area = (o[0] for o in outs)
+    )(lab, roots.astype(jnp.int32))
+    xmin, xmax, ymin, ymax, area = outs
     boxes = jnp.stack([xmin, ymin, xmax + 1.0, ymax + 1.0], axis=-1)
     return boxes, area.astype(jnp.int32)

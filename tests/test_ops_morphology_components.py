@@ -140,3 +140,51 @@ def test_boxes_from_roots_pallas_parity():
     )
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+
+
+def test_boxes_from_roots_pallas_batched_parity():
+    """Batch-grid kernel (ONE pallas_call for all B images) == per-image XLA
+    oracle on every batch row — incl. the per-image stat re-init (the
+    ``step == 0`` @pl.when must fire for EACH image as the grid's batch
+    dimension advances, not just the first)."""
+    import jax
+    import jax.numpy as jnp
+    from nuhtc_tpu.ops.components import boxes_from_roots
+    from nuhtc_tpu.ops.components_pallas import boxes_from_roots_pallas_batched
+
+    rng = np.random.RandomState(7)
+    b, h, w = 3, 64, 256
+    labs, rootss = [], []
+    for i in range(b):
+        lab = (rng.randint(0, 40 + 20 * i, (h, w)) * 131) % (h * w)
+        u = np.unique(lab)[: 80 + i]
+        roots = np.concatenate([u, np.full(128 - len(u), h * w)]).astype(np.int32)
+        labs.append(lab.astype(np.int32))
+        rootss.append(roots)
+    labs = jnp.asarray(np.stack(labs))
+    rootss = jnp.asarray(np.stack(rootss))
+    bb, aa = boxes_from_roots_pallas_batched(labs, rootss, interpret=True)
+    for i in range(b):
+        b1, a1 = boxes_from_roots(labs[i], rootss[i])
+        np.testing.assert_allclose(np.asarray(aa[i]), np.asarray(a1))
+        np.testing.assert_allclose(np.asarray(bb[i]), np.asarray(b1))
+
+
+def test_component_proposals_batched_matches_per_image():
+    """component_proposals_batched (XLA path) == vmap'd component_proposals."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    logits = np.full((2, 64, 64), -5.0, np.float32)
+    logits[0, 10:20, 10:20] = 5.0
+    logits[0, 40:55, 30:50] = 5.0
+    logits[1, 5:30, 5:30] = 5.0
+    got_b, got_v = C.component_proposals_batched(
+        jnp.asarray(logits), (128, 128), max_components=32
+    )
+    want_b, want_v = jax.vmap(
+        lambda sl: C.component_proposals(sl, (128, 128), max_components=32)
+    )(jnp.asarray(logits))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b))

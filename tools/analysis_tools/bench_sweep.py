@@ -32,6 +32,9 @@ SWEEPS = {
     # band width around the 32 default
     "band_24": {"NUHTC_ROI_BAND": "24"},
     "band_48": {"NUHTC_ROI_BAND": "48"},
+    # batch-grid components kernel (ONE pallas_call for the whole batch —
+    # the round-4 per-image kernel lost to vmap serialization)
+    "components_pallas": {"NUHTC_COMPONENTS_KERNEL": "pallas"},
     # batch size (B32 lost at round-1 state; the model is leaner now)
     "batch_24": {"NUHTC_BENCH_BATCH": "24"},
     "batch_32": {"NUHTC_BENCH_BATCH": "32"},

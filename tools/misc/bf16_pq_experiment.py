@@ -55,6 +55,12 @@ CONFIG = os.path.join(REPO, "configs", "nuhtc", "htc_lite_swin_fpn_pannuke_syn.p
 def _run(args, env_extra, timeout=7200):
     env = dict(os.environ)
     env.update(env_extra)
+    if "PYTHONPATH" in env_extra:
+        # keep the parent's entries (e.g. the axon-plugin site dir) — dropping
+        # them makes JAX_PLATFORMS=axon unresolvable in the child
+        parent = os.environ.get("PYTHONPATH", "")
+        if parent and parent not in env_extra["PYTHONPATH"]:
+            env["PYTHONPATH"] = env_extra["PYTHONPATH"] + os.pathsep + parent
     proc = subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
