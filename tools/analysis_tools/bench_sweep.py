@@ -7,7 +7,7 @@ defaults).
 Each row is one bench.py run on the real TPU with a different env combo.
 Results print as a table and append to /tmp/bench_sweep.jsonl.
 
-Usage:  python tools/analysis_tools/bench_sweep.py [--quick] [--only NAME ...]
+Usage:  python tools/analysis_tools/bench_sweep.py [--only NAME ...]
 """
 
 from __future__ import annotations
@@ -43,7 +43,11 @@ SWEEPS = {
 
 def run_one(name: str, env_extra: dict, timeout: float = 1500.0):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # keep the parent's PYTHONPATH entries (e.g. /root/.axon_site, which
+    # registers the axon TPU plugin) — replacing it wholesale makes
+    # JAX_PLATFORMS=axon unresolvable in the child bench.py
+    parent_pp = os.environ.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + parent_pp if parent_pp else "")
     if name != "default":
         env["BENCH_WSI"] = "0"  # A/B rows only need the patch number
     env.update(env_extra)
@@ -63,6 +67,8 @@ def run_one(name: str, env_extra: dict, timeout: float = 1500.0):
         rec["error"] = proc.stdout[-1500:]
     else:
         rec.update(json.loads(line))
+        if not rec.get("value"):  # 0/absent tiles/s is a failed run, not a result
+            rec["error"] = f"degenerate bench value {rec.get('value')!r}"
     with open("/tmp/bench_sweep.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
     return rec
@@ -74,12 +80,19 @@ def main():
     args = ap.parse_args()
 
     names = args.only or list(SWEEPS)
+    unknown = [n for n in names if n not in SWEEPS]
+    if unknown:
+        ap.error(f"unknown sweep name(s) {unknown}; choose from {list(SWEEPS)}")
+    n_err = 0
     for name in names:
         rec = run_one(name, SWEEPS[name])
         val = rec.get("value", "ERR")
+        n_err += "error" in rec
         print(f"{name:>18}: {val} tiles/s  ({rec['wall_s']}s)"
               + (f"  ERROR: {rec['error'][-200:]}" if "error" in rec else ""),
               flush=True)
+    if n_err == len(names):
+        sys.exit("FATAL: every sweep row failed — no usable numbers produced.")
 
 
 if __name__ == "__main__":

@@ -150,6 +150,26 @@ def eval_once(work: str, ckpt: str, mode: str, score_thr: float | None,
     return metrics
 
 
+def pq_family(key: str) -> bool:
+    """True for the PQ-family metric keys evaluate_dataset emits (lowercase:
+    pq, dq, sq, aji, aji_plus, dice, multi_pq, multi_pq+, multi_pq_<c> —
+    eval/evaluate.py:229-252)."""
+    kl = key.lower()
+    return "pq" in kl or kl in ("aji", "aji_plus", "dice", "dq", "sq")
+
+
+def check_nondegenerate(m32: dict, m16: dict) -> None:
+    """Refuse to treat a zero-detection eval as a result (round-4 lesson: a
+    null report shipped as the deliverable). Raises SystemExit."""
+    if m32["_n_detections"] == 0 or m16["_n_detections"] == 0:
+        raise SystemExit(
+            f"FATAL: degenerate run — f32 detections={m32['_n_detections']}, "
+            f"bf16 detections={m16['_n_detections']}. The experiment bounds "
+            "nothing; NOT writing a report. Train longer (--epochs/--iters) "
+            "and/or lower --score-thr."
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/bf16pq")
@@ -172,6 +192,8 @@ def main():
     m32 = eval_once(args.work, ckpt, "f32", args.score_thr)
     m16 = eval_once(args.work, ckpt, "bf16", args.score_thr)
 
+    check_nondegenerate(m32, m16)
+
     keys = [k for k in m32 if not k.startswith("_") and isinstance(m32[k], (int, float))
             and not (isinstance(m32[k], float) and np.isnan(m32[k]))]
     rows = []
@@ -183,8 +205,9 @@ def main():
     for k, a, b, d in rows:
         print(f"{k:<{width}}  {a:10.4f}  {b:10.4f}  {d:+9.4f}")
 
-    pq_rows = [(k, a, b, d) for k, a, b, d in rows if "PQ" in k or k in ("AJI", "Dice", "DQ", "SQ")]
-    max_pq_delta = max((abs(d) for k, a, b, d in pq_rows), default=float("nan"))
+    pq_rows = [(k, a, b, d) for k, a, b, d in rows if pq_family(k)]
+    assert pq_rows, f"no PQ-family metrics among {sorted(k for k, *_ in rows)}"
+    max_pq_delta = max(abs(d) for k, a, b, d in pq_rows)
     print(f"\nmax |delta| over PQ-family metrics: {max_pq_delta:.4f} (gate scale: 0.002)")
 
     if args.report:

@@ -128,6 +128,16 @@ def compare_one(got, want, iou_thr=0.5):
     return stats
 
 
+def assert_nonvacuous_goldens(goldens: dict) -> None:
+    """Zero golden detections makes every match-rate gate vacuously true —
+    refuse to compare against (or to have minted) such goldens."""
+    n_golden = sum(int(np.asarray(g["boxes"]).shape[0]) for g in goldens.values())
+    if n_golden == 0:
+        raise SystemExit(
+            "FATAL: goldens contain 0 detections across all images — the "
+            "parity comparison is vacuous; not producing a report.")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mint", action="store_true",
@@ -211,6 +221,8 @@ def main():
             z = np.load(path)
             goldens[name] = {k: z[k] for k in z.files}
             goldens[name]["mask_probs"] = goldens[name]["mask_probs"].astype(np.float32)
+
+    assert_nonvacuous_goldens(goldens)
 
     print("jax f32/HIGHEST exact ...", flush=True)
     got_f32 = run_jax(params, imgs_prep, jnp.float32, exact=True,
