@@ -278,6 +278,10 @@ def _bench_wsi(batch: int, n_tiles: int = 64):
         "read_wait_s": round(stats["read_wait_s"], 3),
         "dispatch_upload_s": round(stats["dispatch_s"], 3),
         "collect_device_download_s": round(stats["collect_s"], 3),
+        # measured split of collect (engine's 4-byte sync fetch): device-wait
+        # vs tunnel bulk download — VERDICT r4 weak #4
+        "collect_device_s": round(stats.get("collect_device_s", 0.0), 3),
+        "collect_download_s": round(stats.get("collect_download_s", 0.0), 3),
         "host_post_s": round(stats["post_s"], 3),
         "device_path": dev,
     }

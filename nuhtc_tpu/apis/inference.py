@@ -12,6 +12,7 @@ unpadded on host into the reference's result contract
 from __future__ import annotations
 
 import os
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -99,9 +100,17 @@ class InferenceEngine:
                 )(det["mask_probs"], det["boxes"], det["valid"])
                 det = {k: v for k, v in det.items() if k != "mask_probs"}
                 det["label_map"] = lab.astype(jnp.int32)
+            # 4-byte sync scalar: fetching ANY output of this executable waits
+            # for the whole step, so collect() can time device-wait separately
+            # from the bulk download (on axon block_until_ready is a no-op and
+            # the tunnel is ~31 MB/s — the two costs differ by orders of
+            # magnitude and must not be lumped; VERDICT r4 weak #4)
+            det["_sync"] = det["valid"].sum().astype(jnp.int32)
             return det
 
         self._forward = jax.jit(_fwd)
+        # cumulative collect() attribution; read+reset by infer_slide/bench
+        self.collect_timing = {"device_s": 0.0, "download_s": 0.0}
 
         if paste_masks and not compact_masks:
 
@@ -170,14 +179,23 @@ class InferenceEngine:
 
     def collect(self, handle) -> List[Dict[str, np.ndarray]]:
         det, pasted, n = handle
+        # 1) device wait: fetch the 4-byte sync scalar — the device executes
+        # in order, so this returns exactly when the forward step finishes
+        t0 = time.perf_counter()
+        _ = int(np.asarray(det["_sync"]))
+        t1 = time.perf_counter()
+        # 2) bulk download over the host link/tunnel
         if pasted is not None:
             pasted = np.asarray(pasted)
         # masks come back via the pasted tensor — do not also ship the raw
         # (B, D, 28, 28) probs over the (~31 MB/s) tunnel
         det = {
             k: np.asarray(v) for k, v in det.items()
-            if not (k == "mask_probs" and pasted is not None)
+            if k != "_sync" and not (k == "mask_probs" and pasted is not None)
         }
+        t2 = time.perf_counter()
+        self.collect_timing["device_s"] += t1 - t0
+        self.collect_timing["download_s"] += t2 - t1
         return self._split_results(det, pasted, n)
 
     def run_batch(self, imgs: Sequence[np.ndarray]) -> List[Dict[str, np.ndarray]]:

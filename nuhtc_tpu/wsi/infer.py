@@ -182,9 +182,13 @@ def infer_slide(
     # wall-time attribution (BASELINE "WSI number of record": separates
     # device/tunnel stall from host contour/export cost): read_wait = blocked
     # on the threaded tile reader; dispatch = upload + enqueue (tunnel upload
-    # stalls land here); collect = device-wait + download; post = host
-    # contours/export after collect
+    # stalls land here); collect = device-wait + download (the engine further
+    # splits those two via its 4-byte sync fetch — collect_device_s vs
+    # collect_download_s); post = host contours/export after collect
     tm = {"read_wait_s": 0.0, "dispatch_s": 0.0, "collect_s": 0.0, "post_s": 0.0}
+    eng_tm = getattr(engine, "collect_timing", None)
+    if eng_tm is not None:
+        eng_tm["device_s"] = eng_tm["download_s"] = 0.0
 
     def process(handle, batch_coords, tiles):
         nonlocal n_nuclei, annidx
@@ -260,6 +264,9 @@ def infer_slide(
     dt = time.perf_counter() - t0
     if progress:
         print()
+    if eng_tm is not None:
+        tm["collect_device_s"] = eng_tm["device_s"]
+        tm["collect_download_s"] = eng_tm["download_s"]
     return dict(
         tiles=n_tiles, nuclei=n_nuclei, seconds=dt,
         tiles_per_sec=n_tiles / max(dt, 1e-9), **tm,

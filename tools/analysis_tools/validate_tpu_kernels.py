@@ -104,6 +104,35 @@ def check_components_kernel():
     row["ok"] = same
     results.append(row)
     print(row, flush=True)
+
+    # batch-grid kernel at production batch shape (ONE pallas_call over the
+    # whole batch — the round-4 fix for vmap serialization) vs the vmapped
+    # XLA path, exact
+    b = 8
+    logits_b = []
+    for i in range(b):
+        m8 = np.zeros((512, 512), np.uint8)
+        r2 = np.random.RandomState(100 + i)
+        for _ in range(150):
+            cx, cy, r = r2.randint(10, 500), r2.randint(10, 500), r2.randint(3, 14)
+            cv2.circle(m8, (cx, cy), r, 1, -1)
+        logits_b.append((m8 > 0).astype(np.float32) * 2 - 1)
+    logits_b = jnp.asarray(np.stack(logits_b))
+
+    def boxes_b(mode):
+        os.environ["NUHTC_COMPONENTS_KERNEL"] = mode
+        b5, valid = C.component_proposals_batched(
+            logits_b, (512, 512), max_components=512)
+        return np.asarray(b5), np.asarray(valid)
+
+    bxb, vxb = boxes_b("xla")
+    bpb, vpb = boxes_b("pallas")
+    same_b = bool(np.array_equal(vxb, vpb) and np.array_equal(bxb[vxb], bpb[vpb]))
+    row = dict(kernel="components:pallas_batched", batch=b, exact_match=same_b,
+               n_boxes=int(vxb.sum()))
+    row["ok"] = same_b
+    results.append(row)
+    print(row, flush=True)
     return results
 
 
