@@ -32,6 +32,8 @@ SWEEPS = {
     # band width around the 32 default
     "band_24": {"NUHTC_ROI_BAND": "24"},
     "band_48": {"NUHTC_ROI_BAND": "48"},
+    # roi chunk: 16 won at round-4 defaults; re-test 8 at the current ones
+    "chunk_8": {"NUHTC_ROI_CHUNK": "8"},
     # batch-grid components kernel (ONE pallas_call for the whole batch —
     # the round-4 per-image kernel lost to vmap serialization)
     "components_pallas": {"NUHTC_COMPONENTS_KERNEL": "pallas"},

@@ -144,7 +144,10 @@ def eval_once(work: str, ckpt: str, mode: str, score_thr: float | None,
                 results.append((bboxes, segms))
     dt = time.perf_counter() - t0
     n_det = sum(sum(len(b) for b in r[0]) for r in results)
-    print(f"[{mode}] {len(idxs)} imgs in {dt:.1f}s, {n_det} detections")
+    top = max((float(b[:, 4].max()) for r in results for b in r[0] if len(b)),
+              default=0.0)
+    print(f"[{mode}] {len(idxs)} imgs in {dt:.1f}s, {n_det} detections, "
+          f"top score {top:.3f}")
     metrics = evaluate_dataset(dataset, results)
     metrics["_n_detections"] = n_det
     return metrics
