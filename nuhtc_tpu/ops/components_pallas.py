@@ -29,26 +29,30 @@ BIG = 1e9
 
 
 def _make_kernel(k, kb, rb, w, n_rb):
+    # roots/stat refs are (1, 1, K): Mosaic requires the last two block dims
+    # be (8, 128)-divisible OR equal the array's — a (1, K) block over the
+    # batched (B, K) array violates that, while (1, 1, K) over (B, 1, K)
+    # matches both trailing dims exactly.
     def kernel(lab_ref, roots_ref, xmin_ref, xmax_ref, ymin_ref, ymax_ref, area_ref):
         step = pl.program_id(1)
 
         @pl.when(step == 0)
         def _init():
-            xmin_ref[...] = jnp.full((1, k), BIG, jnp.float32)
-            xmax_ref[...] = jnp.full((1, k), -BIG, jnp.float32)
-            ymin_ref[...] = jnp.full((1, k), BIG, jnp.float32)
-            ymax_ref[...] = jnp.full((1, k), -BIG, jnp.float32)
-            area_ref[...] = jnp.zeros((1, k), jnp.float32)
+            xmin_ref[...] = jnp.full((1, 1, k), BIG, jnp.float32)
+            xmax_ref[...] = jnp.full((1, 1, k), -BIG, jnp.float32)
+            ymin_ref[...] = jnp.full((1, 1, k), BIG, jnp.float32)
+            ymax_ref[...] = jnp.full((1, 1, k), -BIG, jnp.float32)
+            area_ref[...] = jnp.zeros((1, 1, k), jnp.float32)
 
         lab = lab_ref[0]  # (RB, W) i32
         y0 = step * rb
         for kb0 in range(0, k, kb):
-            roots = roots_ref[0, kb0 : kb0 + kb]  # (KB,)
-            xmin = xmin_ref[0, kb0 : kb0 + kb]
-            xmax = xmax_ref[0, kb0 : kb0 + kb]
-            ymin = ymin_ref[0, kb0 : kb0 + kb]
-            ymax = ymax_ref[0, kb0 : kb0 + kb]
-            area = area_ref[0, kb0 : kb0 + kb]
+            roots = roots_ref[0, 0, kb0 : kb0 + kb]  # (KB,)
+            xmin = xmin_ref[0, 0, kb0 : kb0 + kb]
+            xmax = xmax_ref[0, 0, kb0 : kb0 + kb]
+            ymin = ymin_ref[0, 0, kb0 : kb0 + kb]
+            ymax = ymax_ref[0, 0, kb0 : kb0 + kb]
+            area = area_ref[0, 0, kb0 : kb0 + kb]
             for r in range(rb):
                 row = lab[r]  # (W,)
                 eq = row[None, :] == roots[:, None]  # (KB, W) bool
@@ -65,11 +69,11 @@ def _make_kernel(k, kb, rb, w, n_rb):
                 ymin = jnp.minimum(ymin, jnp.where(any_, yrow, BIG))
                 ymax = jnp.maximum(ymax, jnp.where(any_, yrow, -BIG))
                 area = area + rcnt
-            xmin_ref[0, kb0 : kb0 + kb] = xmin
-            xmax_ref[0, kb0 : kb0 + kb] = xmax
-            ymin_ref[0, kb0 : kb0 + kb] = ymin
-            ymax_ref[0, kb0 : kb0 + kb] = ymax
-            area_ref[0, kb0 : kb0 + kb] = area
+            xmin_ref[0, 0, kb0 : kb0 + kb] = xmin
+            xmax_ref[0, 0, kb0 : kb0 + kb] = xmax
+            ymin_ref[0, 0, kb0 : kb0 + kb] = ymin
+            ymax_ref[0, 0, kb0 : kb0 + kb] = ymax
+            area_ref[0, 0, kb0 : kb0 + kb] = area
 
     return kernel
 
@@ -117,12 +121,12 @@ def boxes_from_roots_pallas_batched(
         grid=(b, n_rb),
         in_specs=[
             pl.BlockSpec((1, row_block, w), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, k), lambda i, j: (i, 0))] * 5,
-        out_shape=[jax.ShapeDtypeStruct((b, k), jnp.float32)] * 5,
+        out_specs=[pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0))] * 5,
+        out_shape=[jax.ShapeDtypeStruct((b, 1, k), jnp.float32)] * 5,
         interpret=interpret,
-    )(lab, roots.astype(jnp.int32))
-    xmin, xmax, ymin, ymax, area = outs
+    )(lab, roots.astype(jnp.int32)[:, None, :])
+    xmin, xmax, ymin, ymax, area = (o[:, 0, :] for o in outs)
     boxes = jnp.stack([xmin, ymin, xmax + 1.0, ymax + 1.0], axis=-1)
     return boxes, area.astype(jnp.int32)
