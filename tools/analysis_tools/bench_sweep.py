@@ -43,7 +43,7 @@ SWEEPS = {
 }
 
 
-def run_one(name: str, env_extra: dict, timeout: float = 1500.0):
+def run_one(name: str, env_extra: dict, timeout: float = 2400.0):
     env = dict(os.environ)
     # keep the parent's PYTHONPATH entries (e.g. /root/.axon_site, which
     # registers the axon TPU plugin) — replacing it wholesale makes
@@ -54,11 +54,21 @@ def run_one(name: str, env_extra: dict, timeout: float = 1500.0):
         env["BENCH_WSI"] = "0"  # A/B rows only need the patch number
     env.update(env_extra)
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, timeout=timeout,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+    except subprocess.TimeoutExpired as e:
+        # one stalled row (tunnel wedge / cold compile) must not kill the
+        # sweep — record it and move on
+        rec = {"name": name, "env": env_extra,
+               "wall_s": round(time.time() - t0, 1),
+               "error": f"timeout after {timeout}s: {(e.stdout or '')[-500:]}"}
+        with open("/tmp/bench_sweep.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
     line = None
     for ln in proc.stdout.splitlines():
         ln = ln.strip()
