@@ -40,7 +40,39 @@ SWEEPS = {
     # batch size (B32 lost at round-1 state; the model is leaner now)
     "batch_24": {"NUHTC_BENCH_BATCH": "24"},
     "batch_32": {"NUHTC_BENCH_BATCH": "32"},
+    # fused depth-to-space mask tail: deconv→ReLU→1×1 logits as one matmul
+    # + in-fusion logits contraction — the (R,28,28,C') activation never
+    # reaches HBM (models/mask_head.py, tests/test_mask_tail.py)
+    "mask_tail_d2s": {"NUHTC_MASK_TAIL": "d2s"},
 }
+
+
+def tunnel_ready(timeout: float = 150.0) -> bool:
+    """Cheap tunnel-health probe: a tiny matmul in a fresh process. The axon
+    plugin blocks in a nanosleep retry loop when the tunnel endpoint is down
+    (it flaps — see CLAUDE.md), so a bounded probe is the only reliable
+    health signal."""
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); print(float((x @ x).sum()))")
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", probe], timeout=timeout,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_tunnel(max_wait_s: float = 7200.0) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if tunnel_ready():
+            return True
+        print(f"[sweep] tunnel down, waiting ({int(time.time() - t0)}s)...",
+              flush=True)
+        time.sleep(60)
+    return False
 
 
 def run_one(name: str, env_extra: dict, timeout: float = 2400.0):
@@ -89,21 +121,40 @@ def run_one(name: str, env_extra: dict, timeout: float = 2400.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="+", default=None)
+    ap.add_argument("--gate-tunnel", action="store_true",
+                    help="probe tunnel health before each row; wait out "
+                         "outages instead of burning the row timeout")
+    ap.add_argument("--retry-failed", action="store_true",
+                    help="re-run errored rows once at the end")
     args = ap.parse_args()
 
     names = args.only or list(SWEEPS)
     unknown = [n for n in names if n not in SWEEPS]
     if unknown:
         ap.error(f"unknown sweep name(s) {unknown}; choose from {list(SWEEPS)}")
-    n_err = 0
-    for name in names:
-        rec = run_one(name, SWEEPS[name])
-        val = rec.get("value", "ERR")
-        n_err += "error" in rec
-        print(f"{name:>18}: {val} tiles/s  ({rec['wall_s']}s)"
-              + (f"  ERROR: {rec['error'][-200:]}" if "error" in rec else ""),
-              flush=True)
-    if n_err == len(names):
+
+    def run_all(batch):
+        failed = []
+        for name in batch:
+            if args.gate_tunnel and not wait_tunnel():
+                print(f"[sweep] tunnel never recovered; skipping {name}",
+                      flush=True)
+                failed.append(name)
+                continue
+            rec = run_one(name, SWEEPS[name])
+            val = rec.get("value", "ERR")
+            if "error" in rec:
+                failed.append(name)
+            print(f"{name:>18}: {val} tiles/s  ({rec['wall_s']}s)"
+                  + (f"  ERROR: {rec['error'][-200:]}" if "error" in rec else ""),
+                  flush=True)
+        return failed
+
+    failed = run_all(names)
+    if failed and args.retry_failed:
+        print(f"[sweep] retrying failed rows: {failed}", flush=True)
+        failed = run_all(failed)
+    if len(failed) == len(names):
         sys.exit("FATAL: every sweep row failed — no usable numbers produced.")
 
 
