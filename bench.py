@@ -133,8 +133,10 @@ def main():
     # perf-probe knobs (recorded in the JSON): banded-roi chunk/band override
     roi_chunk = int(os.environ.get("NUHTC_ROI_CHUNK", "16"))
     roi_band = int(os.environ.get("NUHTC_ROI_BAND", "32"))
+    roi_overflow = int(os.environ.get("NUHTC_ROI_OVERFLOW", "128"))
     model = NuHTC(num_classes=5, dtype=dtype, scale_factor=scale,
-                  roi_chunk=roi_chunk, roi_band=roi_band)
+                  roi_chunk=roi_chunk, roi_band=roi_band,
+                  roi_overflow=roi_overflow)
 
     img0 = jnp.zeros((batch, size, size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), img0, method="init_forward")
@@ -205,13 +207,15 @@ def main():
                     "backend": backend,
                     "swin_kernel": os.environ.get("NUHTC_SWIN_KERNEL", "block"),
                     "swin_kernel_min_hw": int(
-                        os.environ.get("NUHTC_SWIN_KERNEL_MIN_HW", 64 * 64)
+                        os.environ.get("NUHTC_SWIN_KERNEL_MIN_HW", 256)
                     ),
                     "components_kernel": os.environ.get(
                         "NUHTC_COMPONENTS_KERNEL", "xla"
                     ),
                     "roi_band": model.roi_band,
                     "roi_chunk": model.roi_chunk,
+                    "roi_overflow": model.roi_overflow,
+                    "mask_tail": os.environ.get("NUHTC_MASK_TAIL", "deconv"),
                     "mask_conv0_fold": os.environ.get("NUHTC_MASK_CONV0_FOLD", "0"),
                     "batch": batch,
                     "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),

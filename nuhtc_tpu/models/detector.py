@@ -95,7 +95,12 @@ class NuHTC(nn.Module):
     # RoIs wider than their chunk window are exactly recomputed dense through
     # roi_overflow replacement slots. 0 disables (dense path everywhere);
     # exact_rois=True also disables it.
-    roi_band: int = 32
+    # Default 24 (round 5): whole-model A/B 114.4 -> 124.7 tiles/s vs 32;
+    # still fully exact — the pessimistic 8-64px mix overflows <= 9 rois
+    # (x-sorted, chunk 16; census in BASELINE.md), 20x slot headroom. Bands
+    # 16/20 bench faster still (128.4/126.7) but overflow 885/266 rois on
+    # that mix — beyond any slot budget, so they'd silently clip wide RoIs.
+    roi_band: int = 24
     roi_overflow: int = 128
     # banded extraction in the TRAIN step: sampled rois are sorted by x for
     # extraction and the head outputs unsorted back, so target alignment is

@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -22,6 +23,41 @@ from nuhtc_tpu.models.layers import ConvParams
 from nuhtc_tpu.ops.components import resize_align_corners
 
 Dtype = Any
+
+
+class _TiedDeconv22Params(nn.Module):
+    """Parameter holder with the EXACT pytree layout of
+    ``nn.ConvTranspose(features, (2, 2), strides=(2, 2), padding='VALID')`` —
+    same param names/shapes/initializers under the same module name, so
+    checkpoints trained under either mask-tail lowering interoperate."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _TiedConv1x1Params(nn.Module):
+    """Same, for ``nn.Conv(features, (1, 1))``."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 @HEADS.register()
@@ -72,17 +108,58 @@ class HTCMaskHead(nn.Module):
         feat = x
         outs = []
         if return_logits:
-            y = nn.ConvTranspose(
-                self.conv_out_channels,
-                (2, 2),
-                strides=(2, 2),
-                padding="VALID",
-                dtype=self.dtype,
-                name="upsample",
-            )(x)
-            y = nn.relu(y)
             out_ch = 1 if self.class_agnostic else self.num_classes
-            logits = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="conv_logits")(y)
+            # d2s default (round 5): whole-model A/B 114.3 → 114.7 tiles/s,
+            # and stacked with band-24 + stage-2/3 Swin kernels the combo
+            # measured 127.0 — NUHTC_MASK_TAIL=deconv restores the reference
+            # lowering (exact same math either way, tests/test_mask_tail.py)
+            if os.environ.get("NUHTC_MASK_TAIL", "d2s") == "d2s":
+                # Fused lowering of deconv→ReLU→1×1 logits: a 2×2 stride-2
+                # VALID ConvTranspose has non-overlapping taps, so
+                # y[2i+a, 2j+b, o] = Σ_c x[i,j,c]·K[1-a,1-b,c,o] — one matmul
+                # (K folded to (C, 4·C')) followed by bias+ReLU and the 1×1
+                # logits contraction IN THE SAME fusion, then depth-to-space
+                # on the (R,14,14,2,2,out) result. The (R,28,28,C')
+                # activation (~800 MB bf16 at B16×500 rois) never reaches
+                # HBM. Exact vs the deconv path up to matmul accumulation
+                # order (tests/test_mask_tail.py).
+                r, s, _, cin = x.shape
+                kup, bup = _TiedDeconv22Params(
+                    cin, self.conv_out_channels, name="upsample",
+                )()
+                klog, blog = _TiedConv1x1Params(
+                    self.conv_out_channels, out_ch, name="conv_logits"
+                )()
+                co = self.conv_out_channels
+                # (2,2,C,Co) → flip taps → (C, 2*2*Co)
+                w = kup[::-1, ::-1].transpose(2, 0, 1, 3).reshape(cin, 4 * co)
+                z = jnp.dot(
+                    x.reshape(r * s * s, cin).astype(self.dtype),
+                    w.astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                ).reshape(r, s, s, 2, 2, co)
+                z = nn.relu((z + bup).astype(self.dtype))
+                logits = (
+                    jnp.einsum(
+                        "rijabc,co->rijabo", z, klog[0, 0].astype(self.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + blog
+                )
+                logits = logits.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    r, 2 * s, 2 * s, out_ch
+                )
+            else:
+                y = nn.ConvTranspose(
+                    self.conv_out_channels,
+                    (2, 2),
+                    strides=(2, 2),
+                    padding="VALID",
+                    dtype=self.dtype,
+                    name="upsample",
+                )(x)
+                y = nn.relu(y)
+                logits = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="conv_logits")(y)
             outs.append(logits.astype(jnp.float32))
         if return_feat:
             outs.append(feat)

@@ -228,7 +228,11 @@ class SwinBlock(nn.Module):
         # NUHTC_SWIN_KERNEL_MIN_HW lets perf probes re-test the cutoff for
         # the full-block kernel, whose economics differ (it also saves the
         # LN2/MLP HBM round-trips).
-        min_hw = int(os.environ.get("NUHTC_SWIN_KERNEL_MIN_HW", 64 * 64))
+        # default 256 = 16² (round 5): extending the full-block kernel to
+        # stages 2 (32²) and 3 (16²) won whole-model — 114.3 → 116.2 tiles/s
+        # vs the round-3 cutoff 64² (the attention-only kernel had lost at
+        # ≤32²; the full-block kernel's folded LN2/MLP round-trips flip it)
+        min_hw = int(os.environ.get("NUHTC_SWIN_KERNEL_MIN_HW", 256))
         eligible = (
             self.fused_attention
             and deterministic

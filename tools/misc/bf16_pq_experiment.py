@@ -150,6 +150,7 @@ def eval_once(work: str, ckpt: str, mode: str, score_thr: float | None,
           f"top score {top:.3f}")
     metrics = evaluate_dataset(dataset, results)
     metrics["_n_detections"] = n_det
+    metrics["_top_score"] = top
     return metrics
 
 
@@ -190,8 +191,19 @@ def main():
     os.makedirs(args.work, exist_ok=True)
 
     build_data(args.work)
+
+    # the axon tunnel refuses NEW connections for minutes after a client
+    # disconnects, and a jax process that starts during that window can sit
+    # in the plugin retry loop forever — gate every TPU session boundary on
+    # a fresh probe from this (jax-free until eval) parent
+    import bench as bench_mod
+
+    if not bench_mod.wait_for_backend(3600):
+        raise SystemExit("FATAL: tunnel never came up before training")
     ckpt = train(args.work, args.epochs, args.iters)
 
+    if not bench_mod.wait_for_backend(3600):
+        raise SystemExit("FATAL: tunnel never came up before eval")
     m32 = eval_once(args.work, ckpt, "f32", args.score_thr)
     m16 = eval_once(args.work, ckpt, "bf16", args.score_thr)
 
@@ -215,13 +227,15 @@ def main():
 
     if args.report:
         steps = args.epochs * args.iters
+        thr_note = (f" and test score_thr overridden to {args.score_thr} on BOTH "
+                    "paths" if args.score_thr is not None else "")
         lines = [
             "# bf16 production path vs f32 oracle — trained-weights PQ bound",
             "",
             f"Flagship Swin-T NuHTC trained {steps} steps (B8, lr 1e-4, 100-iter "
             f"warmup) on the 48-tile synthetic PanNuke set "
-            "(tools/misc/bf16_pq_experiment.py), then the 16-tile fold3 eval run "
-            "twice with the SAME checkpoint:",
+            f"(tools/misc/bf16_pq_experiment.py){thr_note}, then the 16-tile "
+            "fold3 eval run twice with the SAME checkpoint:",
             "",
             "- **f32/exact** — float32 params/activations, exact RoI ops, "
             "`jax.default_matmul_precision('float32')`: the oracle path pinned "
@@ -238,7 +252,9 @@ def main():
             lines.append(f"| {k} | {a:.4f} | {b:.4f} | {d:+.4f} |")
         lines += [
             "",
-            f"f32 detections: {m32['_n_detections']} · bf16 detections: {m16['_n_detections']}",
+            f"f32 detections: {m32['_n_detections']} (top score "
+            f"{m32['_top_score']:.3f}) · bf16 detections: "
+            f"{m16['_n_detections']} (top score {m16['_top_score']:.3f})",
             "",
             f"**max |Δ| over the PQ family: {max_pq_delta:.4f}** "
             "(reference gate scale: 0.002 — BASELINE.json).",
