@@ -132,7 +132,11 @@ def main():
     dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
     # perf-probe knobs (recorded in the JSON): banded-roi chunk/band override
     roi_chunk = int(os.environ.get("NUHTC_ROI_CHUNK", "16"))
-    roi_band = int(os.environ.get("NUHTC_ROI_BAND", "32"))
+    # env defaults MUST match the NuHTC dataclass defaults — bench passes
+    # these explicitly, so a stale value here silently overrides the model
+    # (round-5 bug: the first final-bench run measured band 32 after the
+    # band-24 default landed)
+    roi_band = int(os.environ.get("NUHTC_ROI_BAND", "24"))
     roi_overflow = int(os.environ.get("NUHTC_ROI_OVERFLOW", "128"))
     model = NuHTC(num_classes=5, dtype=dtype, scale_factor=scale,
                   roi_chunk=roi_chunk, roi_band=roi_band,
@@ -215,7 +219,7 @@ def main():
                     "roi_band": model.roi_band,
                     "roi_chunk": model.roi_chunk,
                     "roi_overflow": model.roi_overflow,
-                    "mask_tail": os.environ.get("NUHTC_MASK_TAIL", "deconv"),
+                    "mask_tail": os.environ.get("NUHTC_MASK_TAIL", "d2s"),
                     "mask_conv0_fold": os.environ.get("NUHTC_MASK_CONV0_FOLD", "0"),
                     "batch": batch,
                     "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
