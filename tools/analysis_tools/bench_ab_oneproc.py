@@ -60,6 +60,11 @@ ROWS = {
     # the repair exact there, at the cost of a bigger dense recompute
     "band24_slots256": {"NUHTC_ROI_BAND": "24", "NUHTC_ROI_OVERFLOW": "256"},
     "band28_slots192": {"NUHTC_ROI_BAND": "28", "NUHTC_ROI_OVERFLOW": "192"},
+    # chunk geometry around the round-5 default (chunk 16 / band 24): larger
+    # chunks cut scan trips + slice duplication but widen the window
+    "chunk24_band32": {"NUHTC_ROI_CHUNK": "24", "NUHTC_ROI_BAND": "32"},
+    "chunk24_band28": {"NUHTC_ROI_CHUNK": "24", "NUHTC_ROI_BAND": "28"},
+    "chunk32_band32": {"NUHTC_ROI_CHUNK": "32", "NUHTC_ROI_BAND": "32"},
     "winners": {"NUHTC_ROI_BAND": "24", "NUHTC_SWIN_KERNEL_MIN_HW": "256",
                 "NUHTC_MASK_TAIL": "d2s"},
 }
@@ -77,8 +82,10 @@ def bench_one(name: str, env_extra: dict, base_env: dict, state: dict) -> dict:
     os.environ.update(env_extra)
     try:
         batch = int(os.environ.get("NUHTC_BENCH_BATCH", "16"))
+        # env defaults must mirror the NuHTC dataclass defaults (these are
+        # passed explicitly and would otherwise override the model)
         roi_chunk = int(os.environ.get("NUHTC_ROI_CHUNK", "16"))
-        roi_band = int(os.environ.get("NUHTC_ROI_BAND", "32"))
+        roi_band = int(os.environ.get("NUHTC_ROI_BAND", "24"))
         roi_overflow = int(os.environ.get("NUHTC_ROI_OVERFLOW", "128"))
         tile, scale = 256, 2.0
         size = int(tile * scale)
