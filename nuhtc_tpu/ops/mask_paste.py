@@ -76,7 +76,8 @@ def paste_label_map(
     valid: jnp.ndarray,  # (N,)
     out_shape: tuple[int, int],
     threshold: float = 0.5,
-    chunk: int = 128,
+    chunk: int = 64,  # whole-model A/B round 5: 64 > 128 > 256 (outputs are
+    # chunk-invariant — per-detection einsums unchanged, min commutes)
 ) -> jnp.ndarray:
     """Compact WSI-mode output: paste all detections into ONE (H, W) int32
     instance map (pixel = 1 + index of the first/highest-score detection

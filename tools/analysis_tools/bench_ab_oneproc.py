@@ -65,6 +65,9 @@ ROWS = {
     "chunk24_band32": {"NUHTC_ROI_CHUNK": "24", "NUHTC_ROI_BAND": "32"},
     "chunk24_band28": {"NUHTC_ROI_CHUNK": "24", "NUHTC_ROI_BAND": "28"},
     "chunk32_band32": {"NUHTC_ROI_CHUNK": "32", "NUHTC_ROI_BAND": "32"},
+    "paste_64": {"NUHTC_PASTE_CHUNK": "64"},
+    "paste_256": {"NUHTC_PASTE_CHUNK": "256"},
+    "paste_500": {"NUHTC_PASTE_CHUNK": "500"},
     "winners": {"NUHTC_ROI_BAND": "24", "NUHTC_SWIN_KERNEL_MIN_HW": "256",
                 "NUHTC_MASK_TAIL": "d2s"},
 }
@@ -109,11 +112,14 @@ def bench_one(name: str, env_extra: dict, base_env: dict, state: dict) -> dict:
             ]
             state[("imgs", batch)] = imgs
 
+        paste_chunk = int(os.environ.get("NUHTC_PASTE_CHUNK", "128"))
+
         @jax.jit
         def step(params, img):
             det = model.apply(params, img)
             lab = jax.vmap(
-                lambda m, b, v: paste_label_map(m, b, v, (tile, tile), threshold=0.5)
+                lambda m, b, v: paste_label_map(m, b, v, (tile, tile),
+                                                threshold=0.5, chunk=paste_chunk)
             )(det["mask_probs"], det["boxes"], det["valid"])
             return (det["boxes"].sum() + det["scores"].sum() + det["labels"].sum()
                     + det["valid"].sum() + lab.sum())
